@@ -1,0 +1,167 @@
+"""BVH traversal — vectorized wavefront-style, all rays step in lockstep.
+
+Role parity with the reference's traversal stack machines
+(kernels/bvh/bvh_intersector1.cpp:31-115 single-ray ordered traversal,
+bvh_traverser1.h:58 distance-sorted push, node_intersector1.h:426 N-wide slab
+test), redesigned for TPU SIMD rigidity:
+
+- No per-ray control flow. Every ray in the batch executes the same step each
+  iteration of one lax.while_loop: pop/descend + slab-test all W children +
+  leaf primitive test, selected per-lane with masks. XLA maps the per-ray math
+  onto the VPU across the ray batch (the analog of Embree's ray packets, but the
+  packet is the whole batch).
+- Per-ray traversal stacks live in a (R, STACK_DEPTH) array; pushes are batched
+  scatters. STACK_DEPTH mirrors the reference's stack sizing
+  (bvh_intersector1.h:26: 1 + (N-1)*BVH::maxDepth).
+- Hits track only (tfar, best_prim); u/v/Ng are reconstructed after traversal by
+  re-intersecting the single winning primitive per ray — cheaper than carrying
+  full hit state through the loop.
+- Ordered descent: children sorted by entry distance (the sorting-network analog),
+  so nearer subtrees shrink tfar before farther ones are visited.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import rcp_safe
+from .bvh import BVH, INVALID_NODE
+
+STACK_DEPTH = 64
+
+
+def slab_test(node_lo, node_up, org, rdir, tnear, tfar):
+    """Ray/AABB slab test over a trailing child axis.
+
+    Args:
+      node_lo, node_up: (..., W, 3)
+      org, rdir: (..., 3); tnear, tfar: (...,)
+    Returns:
+      (hit, t_entry): (..., W) bool / float32.
+    """
+    t0 = (node_lo - org[..., None, :]) * rdir[..., None, :]
+    t1 = (node_up - org[..., None, :]) * rdir[..., None, :]
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t_entry = jnp.maximum(jnp.max(tmin, axis=-1), tnear[..., None])
+    t_exit = jnp.minimum(jnp.min(tmax, axis=-1), tfar[..., None])
+    return t_entry <= t_exit, t_entry
+
+
+class TraversalResult(NamedTuple):
+    tfar: jnp.ndarray       # (R,) updated hit distance (inf if miss for closest-hit)
+    best_prim: jnp.ndarray  # (R,) int32 global prim index into prim_order target, -1 if miss
+    steps: jnp.ndarray      # () int32 — iteration count (observability; cf. stat.h counters)
+
+
+def _pop(stack, sp, active):
+    """Vectorized stack pop; rays with empty stacks become inactive."""
+    has = sp > 0
+    new_sp = jnp.where(has, sp - 1, sp)
+    r = jnp.arange(sp.shape[0])
+    top = stack[r, jnp.maximum(new_sp, 0)]
+    cur = jnp.where(has, top, INVALID_NODE)
+    return cur, new_sp, active & has
+
+
+def traverse(
+    bvh: BVH,
+    prim_test: Callable,
+    org: jnp.ndarray,
+    dir: jnp.ndarray,
+    tnear: jnp.ndarray,
+    tfar: jnp.ndarray,
+    occlusion: bool = False,
+    max_leaf_size: int = 1,
+) -> TraversalResult:
+    """Find closest (or any, if occlusion) primitive hit along each ray.
+
+    Args:
+      prim_test: callable (prim_ids[R], valid[R], org, dir, tnear, tfar) ->
+        (hit[R] bool, t[R]) testing one primitive per ray.
+      max_leaf_size: static upper bound of prims per leaf (loop unroll factor).
+    """
+    R = org.shape[0]
+    W = bvh.width
+    rdir = rcp_safe(dir)
+    ray_idx = jnp.arange(R)
+
+    # Per-ray state
+    cur0 = jnp.zeros(R, jnp.int32)  # root node
+    stack0 = jnp.zeros((R, STACK_DEPTH), jnp.int32)
+    sp0 = jnp.zeros(R, jnp.int32)
+    active0 = jnp.ones(R, bool)
+    best0 = jnp.full(R, -1, jnp.int32)
+
+    def cond(state):
+        active, *_ = state
+        return jnp.any(active)
+
+    def body(state):
+        active, cur, stack, sp, t_far, best, steps = state
+
+        is_node = active & (cur >= 0)
+        is_leaf = active & (cur < 0) & (cur != INVALID_NODE)
+
+        # ---- internal node step: W-wide slab test + ordered push ----
+        node = jnp.where(is_node, cur, 0)
+        child = bvh.node_child[node]                      # (R, W)
+        c_lo = bvh.node_lower[node]                       # (R, W, 3)
+        c_up = bvh.node_upper[node]
+        hit, t_entry = slab_test(c_lo, c_up, org, rdir, tnear, t_far)
+        hit = hit & (child != INVALID_NODE) & is_node[:, None]
+        dist = jnp.where(hit, t_entry, jnp.inf)
+
+        # sort children by entry distance (ascending); misses to the back
+        sort_idx = jnp.argsort(dist, axis=-1)
+        child_sorted = jnp.take_along_axis(child, sort_idx, axis=-1)
+        hit_sorted = jnp.take_along_axis(hit, sort_idx, axis=-1)
+        num_hits = jnp.sum(hit, axis=-1)
+
+        # push far children (indices W-1 .. 1) onto the stack
+        new_stack, new_sp = stack, sp
+        for k in range(W - 1, 0, -1):
+            do_push = is_node & hit_sorted[:, k] & (new_sp < STACK_DEPTH)
+            slot = jnp.where(do_push, new_sp, 0)
+            val = jnp.where(do_push, child_sorted[:, k], new_stack[ray_idx, slot])
+            new_stack = new_stack.at[ray_idx, slot].set(val)
+            new_sp = jnp.where(do_push, new_sp + 1, new_sp)
+
+        node_next = jnp.where(num_hits > 0, child_sorted[:, 0], INVALID_NODE)
+
+        # ---- leaf step: test up to max_leaf_size prims ----
+        packed = jnp.where(is_leaf, -(cur + 1), 0)
+        start = packed >> 4
+        count = packed & 0xF
+        leaf_tfar = t_far
+        leaf_best = best
+        for k in range(max_leaf_size):
+            valid = is_leaf & (k < count)
+            slot = jnp.clip(start + k, 0, bvh.n_prims - 1)
+            prim = bvh.prim_order[slot]
+            p_hit, p_t = prim_test(prim, valid, org, dir, tnear, leaf_tfar)
+            p_hit = p_hit & valid
+            leaf_tfar = jnp.where(p_hit, p_t, leaf_tfar)
+            leaf_best = jnp.where(p_hit, prim, leaf_best)
+
+        t_far = jnp.where(is_leaf, leaf_tfar, t_far)
+        best = jnp.where(is_leaf, leaf_best, best)
+
+        # ---- advance: node rays descend or pop; leaf rays pop ----
+        need_pop = (is_leaf | (is_node & (num_hits == 0)))
+        pop_cur, pop_sp, pop_active = _pop(new_stack, new_sp, active)
+        cur = jnp.where(need_pop, pop_cur, jnp.where(is_node, node_next, cur))
+        sp = jnp.where(need_pop, pop_sp, new_sp)
+        active = jnp.where(need_pop, pop_active, active)
+
+        if occlusion:
+            # any-hit: a ray with a recorded hit is done
+            active = active & (best < 0)
+
+        return active, cur, new_stack, sp, t_far, best, steps + 1
+
+    state = (active0, cur0, stack0, sp0, tfar, best0, jnp.int32(0))
+    _, _, _, _, t_out, best_out, steps = jax.lax.while_loop(cond, body, state)
+    return TraversalResult(tfar=t_out, best_prim=best_out, steps=steps)
