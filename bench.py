@@ -1,0 +1,73 @@
+"""Headline benchmark: incoherent rays/s on a procedural sphere scene.
+
+Analog of the reference IncoherentRaysBenchmark (tutorials/verify/verify.cpp:5923:
+16M random rays vs procedural sphere geometry, reported as Mrays/s). Prints ONE
+JSON line; vs_baseline is measured against the 1e8 rays/s/chip north-star target
+(BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def sphere_mesh(n_theta=64, n_phi=128, radius=1.0):
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    t, p = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack([
+        radius * np.sin(t) * np.cos(p),
+        radius * np.sin(t) * np.sin(p),
+        radius * np.cos(t)], axis=-1).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            idx.append([a, b, d])
+            idx.append([a, d, c])
+    return verts, np.asarray(idx, np.int32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import embree_tpu as et
+
+    n_rays = int(os.environ.get("BENCH_RAYS", 1 << 20))
+    verts, idx = sphere_mesh()
+
+    scene = et.Scene()
+    scene.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx)))
+    cs = scene.commit()
+
+    rng = np.random.default_rng(0)
+    org = rng.uniform(-2, 2, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rays = et.make_rays(jnp.asarray(org), jnp.asarray(d))
+
+    run = jax.jit(lambda cs, rays: et.intersect(cs, rays).t)
+    t = jax.block_until_ready(run(cs, rays))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(cs, rays))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mrays = n_rays / best / 1e6
+    print(json.dumps({
+        "metric": "incoherent_rays",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ keeps traversal a single dense kernel (SURVEY.md §A.2 note).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -33,7 +34,11 @@ from .core.ray import INVALID_ID, HitBatch, RayBatch, make_miss_hits
 from .ops import triangle as tri_ops
 from .accel.bvh import BVH
 from .accel.lbvh import build_lbvh
+from .accel.sah import build_sah
 from .accel import traverse as trav_mod
+
+# Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
+LEAF_SIZE = 4
 
 
 class BuildQuality:
@@ -130,7 +135,11 @@ class Scene:
 
         lo = jnp.minimum(jnp.minimum(tri_v0, tri_v1), tri_v2)
         up = jnp.maximum(jnp.maximum(tri_v0, tri_v1), tri_v2)
-        bvh = jax.jit(build_lbvh)(lo, up)
+        # quality tiering mirrors the reference accel selection (scene.cpp:152-274):
+        # LOW -> morton-only (phase-B radix pass), MEDIUM/HIGH -> binned SAH top.
+        top_levels = 0 if self.quality == BuildQuality.LOW else 16
+        bvh = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
+                              max_top_levels=top_levels))(lo, up)
 
         self.committed = CommittedScene(
             bvh=bvh, tri_v0=tri_v0, tri_v1=tri_v1, tri_v2=tri_v2,
@@ -157,16 +166,25 @@ def _make_prim_test(scene: CommittedScene, ray_mask):
 
 
 def intersect(scene: CommittedScene, rays: RayBatch) -> HitBatch:
-    """Closest-hit query. Returns a HitBatch with the same leading shape as rays."""
+    """Closest-hit query. Returns a HitBatch with the same leading shape as rays.
+
+    Differentiable w.r.t. scene vertices and ray org/dir: the traversal loop only
+    *selects* the winning primitive (structure treated as constant — the correct
+    semantics for interior hits, SURVEY.md §7 hard-part 5); t/u/v/Ng are then
+    recomputed differentiably by re-intersecting that primitive.
+    """
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
 
+    # Traversal is pure discrete selection — block gradients through it.
+    sg_scene = jax.lax.stop_gradient(scene)
+    sg_flat = jax.lax.stop_gradient(flat)
     result = trav_mod.traverse(
-        scene.bvh, _make_prim_test(scene, flat.mask),
-        flat.org, flat.dir, flat.tnear, flat.tfar,
-        occlusion=False, max_leaf_size=8)
+        sg_scene.bvh, _make_prim_test(sg_scene, sg_flat.mask),
+        sg_flat.org, sg_flat.dir, sg_flat.tnear, sg_flat.tfar,
+        occlusion=False, max_leaf_size=LEAF_SIZE)
 
-    hits = _reconstruct_hits(scene, flat, result.best_prim, result.tfar)
+    hits = _reconstruct_hits(scene, flat, result.best_prim)
     return jax.tree.map(lambda a: a.reshape(shape + a.shape[1:]), hits)
 
 
@@ -177,12 +195,16 @@ def occluded(scene: CommittedScene, rays: RayBatch) -> jnp.ndarray:
     result = trav_mod.traverse(
         scene.bvh, _make_prim_test(scene, flat.mask),
         flat.org, flat.dir, flat.tnear, flat.tfar,
-        occlusion=True, max_leaf_size=8)
+        occlusion=True, max_leaf_size=LEAF_SIZE)
     return (result.best_prim >= 0).reshape(shape)
 
 
-def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim, t_hit) -> HitBatch:
-    """Re-intersect the winning primitive per ray to recover u, v, Ng, ids."""
+def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBatch:
+    """Re-intersect the winning primitive per ray to recover t, u, v, Ng, ids.
+
+    This pass carries the gradient: d(hit)/d(vertices, org, dir) flows through the
+    closed-form Möller solve, while the discrete selection (best_prim) is constant.
+    """
     found = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
     v0 = scene.tri_v0[prim]
@@ -194,7 +216,7 @@ def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim, t_hit) -
 
     miss = make_miss_hits(rays.shape)
     hit = HitBatch(
-        t=t_hit,
+        t=t,
         u=u, v=v, ng=ng,
         prim_id=scene.prim_local_id[prim],
         geom_id=scene.prim_geom_id[prim],
@@ -223,5 +245,5 @@ def intersect_brute(scene: CommittedScene, rays: RayBatch) -> HitBatch:
              scene.geom_mask[scene.prim_geom_id.astype(jnp.int32)],
              jnp.arange(T, dtype=jnp.int32))
     (t_out, best), _ = jax.lax.scan(scan_tri, (flat.tfar, jnp.full(flat.shape, -1, jnp.int32)), prims)
-    hits = _reconstruct_hits(scene, flat, best, t_out)
+    hits = _reconstruct_hits(scene, flat, best)
     return jax.tree.map(lambda a: a.reshape(shape + a.shape[1:]), hits)

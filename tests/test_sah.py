@@ -1,0 +1,101 @@
+"""Binned-SAH builder: structural invariants + quality + query equivalence.
+
+Mirrors the reference's build testing approach (verify.cpp ManyBuildTest /
+IntensiveRegressionTest + bvh_statistics SAH reporting).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import embree_tpu as et
+from embree_tpu.accel.bvh import INVALID_NODE, decode_leaf, sah_cost
+from embree_tpu.accel.sah import build_sah
+
+
+def walk_and_check(bvh, lo, up, leaf_size):
+    """Host-side structural audit: coverage, bounds containment, leaf sizes."""
+    n = lo.shape[0]
+    child = np.asarray(bvh.node_child)
+    st, ct = map(np.asarray, decode_leaf(bvh.node_child))
+    nlo = np.asarray(bvh.node_lower)
+    nup = np.asarray(bvh.node_upper)
+    plo = np.asarray(lo)[np.asarray(bvh.prim_order)]
+    pup = np.asarray(up)[np.asarray(bvh.prim_order)]
+    covered = np.zeros(n, np.int32)
+    stack = [0]
+    while stack:
+        nd = stack.pop()
+        for w in range(child.shape[1]):
+            ref = child[nd, w]
+            if ref == INVALID_NODE:
+                continue
+            if ref < 0:
+                s, c = st[nd, w], ct[nd, w]
+                assert 1 <= c <= leaf_size
+                covered[s:s + c] += 1
+                assert (nlo[nd, w] <= plo[s:s + c].min(0) + 1e-4).all()
+                assert (nup[nd, w] >= pup[s:s + c].max(0) - 1e-4).all()
+            else:
+                stack.append(ref)
+    assert (covered == 1).all(), "each prim must be in exactly one leaf"
+
+
+@pytest.mark.parametrize("n", [2, 5, 100, 3000])
+@pytest.mark.parametrize("top_levels", [0, 16])
+def test_structure(n, top_levels):
+    rng = np.random.default_rng(n)
+    c = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    h = rng.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+    lo, up = jnp.asarray(c - h), jnp.asarray(c + h)
+    bvh = jax.jit(lambda a, b: build_sah(a, b, max_top_levels=top_levels))(lo, up)
+    walk_and_check(bvh, lo, up, leaf_size=4)
+
+
+def test_duplicate_centroids():
+    """All-identical centroids force the median-split fallback path."""
+    n = 64
+    lo = jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1))
+    up = jnp.tile(jnp.array([[1.0, 1.0, 1.0]]), (n, 1))
+    bvh = build_sah(lo, up)
+    walk_and_check(bvh, lo, up, leaf_size=4)
+
+
+def test_sah_quality_on_clustered_scene():
+    """SAH should not be (much) worse than morton on a clustered distribution."""
+    rng = np.random.default_rng(3)
+    clusters = rng.uniform(-100, 100, (20, 3))
+    pts = np.concatenate([
+        c + rng.normal(0, 1.0, (200, 3)) for c in clusters]).astype(np.float32)
+    lo = jnp.asarray(pts - 0.05)
+    up = jnp.asarray(pts + 0.05)
+    c_sah = float(sah_cost(build_sah(lo, up, max_top_levels=16)))
+    c_mor = float(sah_cost(build_sah(lo, up, max_top_levels=0)))
+    assert c_sah <= c_mor * 1.1
+
+
+def test_sah_scene_query_equivalence():
+    """Full intersect path over a SAH-committed scene equals brute force."""
+    from test_bvh import make_sphere_mesh, random_rays
+    verts, idx = make_sphere_mesh(12, 18)
+    scene = et.Scene(quality=et.BuildQuality.MEDIUM)
+    scene.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx)))
+    cs = scene.commit()
+    rays = random_rays(jax.random.PRNGKey(5), 512)
+    h_bvh = jax.jit(et.intersect)(cs, rays)
+    h_ref = jax.jit(et.intersect_brute)(cs, rays)
+    np.testing.assert_array_equal(np.asarray(h_bvh.valid), np.asarray(h_ref.valid))
+    m = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(np.asarray(h_bvh.t)[m], np.asarray(h_ref.t)[m], rtol=1e-4)
+
+
+def test_low_quality_scene_query_equivalence():
+    from test_bvh import make_sphere_mesh, random_rays
+    verts, idx = make_sphere_mesh(10, 14)
+    scene = et.Scene(quality=et.BuildQuality.LOW)
+    scene.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx)))
+    cs = scene.commit()
+    rays = random_rays(jax.random.PRNGKey(9), 256)
+    h_bvh = jax.jit(et.intersect)(cs, rays)
+    h_ref = jax.jit(et.intersect_brute)(cs, rays)
+    np.testing.assert_array_equal(np.asarray(h_bvh.valid), np.asarray(h_ref.valid))
