@@ -3,6 +3,20 @@
 Brand-new JAX/XLA/Pallas implementation with the capabilities of Intel Embree
 (see SURVEY.md). Public API mirrors the roles of include/embree4/rtcore_*.h.
 """
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: TPU kernel compiles go through a remote helper
+# and are expensive; cache them across processes.
+try:
+    _cache_dir = _os.environ.get("EMBREE_TPU_CACHE",
+                                 _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from .core.ray import RayBatch, HitBatch, make_rays, make_miss_hits, INVALID_ID
 from .scene import (
     Scene, TriangleGeometry, CommittedScene, BuildQuality,

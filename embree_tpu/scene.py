@@ -35,7 +35,10 @@ from .ops import triangle as tri_ops
 from .accel.bvh import BVH
 from .accel.lbvh import build_lbvh
 from .accel.sah import build_sah
+from .accel.collapse import collapse
+from .accel.pack import PackedScene, pack
 from .accel import traverse as trav_mod
+from .accel import traverse_pallas as trav_pallas
 
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
 LEAF_SIZE = 4
@@ -65,7 +68,8 @@ class TriangleGeometry:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CommittedScene:
-    """Device-resident traversable: merged primitive SoA + BVH."""
+    """Device-resident traversable: merged primitive SoA + BVH (+ packed
+    record table for the Pallas kernel)."""
     bvh: BVH
     tri_v0: jnp.ndarray        # (T, 3) float32
     tri_v1: jnp.ndarray
@@ -73,10 +77,12 @@ class CommittedScene:
     prim_geom_id: jnp.ndarray  # (T,) uint32
     prim_local_id: jnp.ndarray # (T,) uint32
     geom_mask: jnp.ndarray     # (n_geoms,) uint32
+    packed: Optional[PackedScene] = None
 
     def tree_flatten(self):
         return ((self.bvh, self.tri_v0, self.tri_v1, self.tri_v2,
-                 self.prim_geom_id, self.prim_local_id, self.geom_mask), None)
+                 self.prim_geom_id, self.prim_local_id, self.geom_mask,
+                 self.packed), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -110,41 +116,67 @@ class Scene:
         return self._geoms[geom_id]
 
     def commit(self) -> CommittedScene:
-        """Merge geometries and build the BVH (rtcCommitScene analog)."""
-        v0s, v1s, v2s, gids, pids, masks = [], [], [], [], [], []
+        """Merge geometries and build the BVH (rtcCommitScene analog).
+
+        Geometry merge + build run on host (numpy / CPU jax backend) — eager
+        dispatch to a remote TPU is orders of magnitude slower per op; only the
+        finished traversable is transferred (see device transfer below)."""
+        v0s, v1s, v2s, gids, pids = [], [], [], [], []
         n_geoms = max(self._next_id, 1)
         geom_mask = np.full(n_geoms, 0xFFFFFFFF, np.uint32)
         for gid, g in sorted(self._geoms.items()):
             geom_mask[gid] = np.uint32(g.mask)
             if not g.enabled or g.num_prims == 0:
                 continue
-            tri = jnp.asarray(g.vertices, jnp.float32)[jnp.asarray(g.indices, jnp.int32)]
+            tri = np.asarray(g.vertices, np.float32)[np.asarray(g.indices, np.int32)]
             v0s.append(tri[:, 0]); v1s.append(tri[:, 1]); v2s.append(tri[:, 2])
             n = g.num_prims
-            gids.append(jnp.full(n, gid, jnp.uint32))
-            pids.append(jnp.arange(n, dtype=jnp.uint32))
+            gids.append(np.full(n, gid, np.uint32))
+            pids.append(np.arange(n, dtype=np.uint32))
 
         if not v0s:
             raise ValueError("commit() on empty scene")
 
-        tri_v0 = jnp.concatenate(v0s)
-        tri_v1 = jnp.concatenate(v1s)
-        tri_v2 = jnp.concatenate(v2s)
-        prim_geom_id = jnp.concatenate(gids)
-        prim_local_id = jnp.concatenate(pids)
+        tri_v0 = np.concatenate(v0s)
+        tri_v1 = np.concatenate(v1s)
+        tri_v2 = np.concatenate(v2s)
+        prim_geom_id = np.concatenate(gids)
+        prim_local_id = np.concatenate(pids)
 
-        lo = jnp.minimum(jnp.minimum(tri_v0, tri_v1), tri_v2)
-        up = jnp.maximum(jnp.maximum(tri_v0, tri_v1), tri_v2)
-        # quality tiering mirrors the reference accel selection (scene.cpp:152-274):
-        # LOW -> morton-only (phase-B radix pass), MEDIUM/HIGH -> binned SAH top.
-        top_levels = 0 if self.quality == BuildQuality.LOW else 16
-        bvh = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
-                              max_top_levels=top_levels))(lo, up)
+        # Build on the host CPU backend (fast compiles, cheap eager dispatch),
+        # then transfer the finished traversable to the default device — the
+        # analog of the reference building on CPU and uploading RTAS for GPU
+        # (rthwif_embree_builder.cpp).
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            tri_v0c = jax.device_put(tri_v0, cpu)
+            tri_v1c = jax.device_put(tri_v1, cpu)
+            tri_v2c = jax.device_put(tri_v2, cpu)
+            prim_geom_id = jax.device_put(prim_geom_id, cpu)
+            prim_local_id = jax.device_put(prim_local_id, cpu)
+            lo = jnp.minimum(jnp.minimum(tri_v0c, tri_v1c), tri_v2c)
+            up = jnp.maximum(jnp.maximum(tri_v0c, tri_v1c), tri_v2c)
+            # quality tiering mirrors the reference accel selection
+            # (scene.cpp:152-274): LOW -> morton-only, MEDIUM/HIGH -> SAH top.
+            top_levels = 0 if self.quality == BuildQuality.LOW else 16
+            bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
+                                   max_top_levels=top_levels))(lo, up)
+            bvh8, n_wide = jax.jit(partial(collapse, width=8))(bvh2)
+            geom_mask_arr = jnp.asarray(geom_mask)
+            mask_per_prim = geom_mask_arr[prim_geom_id.astype(jnp.int32)]
+            packed = pack(bvh8, int(n_wide), tri_v0c, tri_v1c, tri_v2c,
+                          mask_per_prim)
+
+        default = jax.devices()[0]
+        (bvh8, geom_mask_arr, packed, tri_v0, tri_v1, tri_v2,
+         prim_geom_id, prim_local_id) = jax.device_put(
+            (bvh8, geom_mask_arr, packed, tri_v0c, tri_v1c, tri_v2c,
+             prim_geom_id, prim_local_id), default)
 
         self.committed = CommittedScene(
-            bvh=bvh, tri_v0=tri_v0, tri_v1=tri_v1, tri_v2=tri_v2,
+            bvh=bvh8, tri_v0=tri_v0, tri_v1=tri_v1, tri_v2=tri_v2,
             prim_geom_id=prim_geom_id, prim_local_id=prim_local_id,
-            geom_mask=jnp.asarray(geom_mask))
+            geom_mask=geom_mask_arr, packed=packed)
         return self.committed
 
 
@@ -165,7 +197,37 @@ def _make_prim_test(scene: CommittedScene, ray_mask):
     return prim_test
 
 
-def intersect(scene: CommittedScene, rays: RayBatch) -> HitBatch:
+def _use_pallas(scene: CommittedScene, backend: Optional[str]) -> bool:
+    if backend == "jnp":
+        return False
+    if backend == "pallas":
+        return True
+    # auto: the Pallas kernel runs compiled on TPU only (tests opt in to
+    # interpret mode explicitly via backend="pallas" + PALLAS_INTERPRET)
+    return scene.packed is not None and jax.devices()[0].platform != "cpu"
+
+
+PALLAS_INTERPRET = False  # set True in CPU tests to run the kernel interpreted
+
+
+def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
+                     backend: Optional[str]):
+    """Run traversal, return best_prim (global prim index, -1 = miss)."""
+    if _use_pallas(scene, backend):
+        _, best = trav_pallas.traverse_packed(
+            scene.packed, flat.org, flat.dir, flat.tnear, flat.tfar,
+            flat.mask.astype(jnp.int32), occlusion=occlusion,
+            interpret=PALLAS_INTERPRET)
+        return best
+    result = trav_mod.traverse(
+        scene.bvh, _make_prim_test(scene, flat.mask),
+        flat.org, flat.dir, flat.tnear, flat.tfar,
+        occlusion=occlusion, max_leaf_size=LEAF_SIZE)
+    return result.best_prim
+
+
+def intersect(scene: CommittedScene, rays: RayBatch,
+              backend: Optional[str] = None) -> HitBatch:
     """Closest-hit query. Returns a HitBatch with the same leading shape as rays.
 
     Differentiable w.r.t. scene vertices and ray org/dir: the traversal loop only
@@ -179,24 +241,19 @@ def intersect(scene: CommittedScene, rays: RayBatch) -> HitBatch:
     # Traversal is pure discrete selection — block gradients through it.
     sg_scene = jax.lax.stop_gradient(scene)
     sg_flat = jax.lax.stop_gradient(flat)
-    result = trav_mod.traverse(
-        sg_scene.bvh, _make_prim_test(sg_scene, sg_flat.mask),
-        sg_flat.org, sg_flat.dir, sg_flat.tnear, sg_flat.tfar,
-        occlusion=False, max_leaf_size=LEAF_SIZE)
+    best = _traverse_select(sg_scene, sg_flat, occlusion=False, backend=backend)
 
-    hits = _reconstruct_hits(scene, flat, result.best_prim)
+    hits = _reconstruct_hits(scene, flat, best)
     return jax.tree.map(lambda a: a.reshape(shape + a.shape[1:]), hits)
 
 
-def occluded(scene: CommittedScene, rays: RayBatch) -> jnp.ndarray:
+def occluded(scene: CommittedScene, rays: RayBatch,
+             backend: Optional[str] = None) -> jnp.ndarray:
     """Any-hit query. Returns bool array (reference encodes as tfar=-inf, ray.h:196)."""
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
-    result = trav_mod.traverse(
-        scene.bvh, _make_prim_test(scene, flat.mask),
-        flat.org, flat.dir, flat.tnear, flat.tfar,
-        occlusion=True, max_leaf_size=LEAF_SIZE)
-    return (result.best_prim >= 0).reshape(shape)
+    best = _traverse_select(scene, flat, occlusion=True, backend=backend)
+    return (best >= 0).reshape(shape)
 
 
 def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBatch:

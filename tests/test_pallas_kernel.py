@@ -1,0 +1,66 @@
+"""Pallas traversal kernel correctness (interpret mode on the CPU mesh).
+
+The compiled-on-TPU path is exercised by bench.py / the driver; here the same
+kernel runs under the Pallas interpreter and must agree with the jnp traversal
+and brute force.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import embree_tpu as et
+from embree_tpu import scene as scene_mod
+from test_bvh import make_sphere_mesh, random_rays
+
+
+def setup_module(module):
+    scene_mod.PALLAS_INTERPRET = True
+
+
+def teardown_module(module):
+    scene_mod.PALLAS_INTERPRET = False
+
+
+def _sphere_scene(mask=0xFFFFFFFF):
+    verts, idx = make_sphere_mesh(8, 12)
+    s = et.Scene()
+    s.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx), mask=mask))
+    return s.commit()
+
+
+def test_intersect_matches_jnp():
+    cs = _sphere_scene()
+    rays = random_rays(jax.random.PRNGKey(2), 256)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m = np.asarray(h_j.valid)
+    np.testing.assert_array_equal(np.asarray(h_p.valid), m)
+    np.testing.assert_allclose(np.asarray(h_p.t)[m], np.asarray(h_j.t)[m], rtol=1e-4)
+    # winning prim ids agree (or tie in t)
+    same = np.asarray(h_p.prim_id)[m] == np.asarray(h_j.prim_id)[m]
+    assert same.mean() > 0.95
+
+
+def test_occluded_matches_jnp():
+    cs = _sphere_scene()
+    rays = random_rays(jax.random.PRNGKey(3), 256)
+    o_p = et.occluded(cs, rays, backend="pallas")
+    o_j = jax.jit(lambda c, r: et.occluded(c, r, backend="jnp"))(cs, rays)
+    np.testing.assert_array_equal(np.asarray(o_p), np.asarray(o_j))
+
+
+def test_ray_mask_respected():
+    cs = _sphere_scene(mask=0x2)
+    org = jnp.array([[0.0, 0.0, 5.0]] * 2)
+    d = jnp.array([[0.0, 0.0, -1.0]] * 2)
+    rays = et.make_rays(org, d, mask=jnp.array([0x2, 0x1], jnp.uint32))
+    h = et.intersect(cs, rays, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(h.valid), [True, False])
+
+
+def test_non_multiple_of_128_rays():
+    cs = _sphere_scene()
+    rays = random_rays(jax.random.PRNGKey(4), 37)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    np.testing.assert_array_equal(np.asarray(h_p.valid), np.asarray(h_j.valid))
