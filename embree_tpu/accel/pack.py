@@ -73,17 +73,25 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     lo = bvh8.node_lower[:n_wide]
     up = bvh8.node_upper[:n_wide]
 
-    # --- leaf slot enumeration (host-static count unknown -> compute dense) ---
-    leaf_mask = np.asarray(is_leaf(child)).reshape(-1)          # (n_wide*8,)
-    leaf_ids_flat = np.cumsum(leaf_mask) - leaf_mask            # leaf record index
+    # --- record numbering: each wide node's leaf records immediately follow
+    # its internal record, so one coherent ray block addresses a narrow band of
+    # table tiles (the fetch loop scans only [min,max] of the block's tiles) ---
+    leaf_mask2 = np.asarray(is_leaf(child))                      # (n_wide, 8)
+    leaf_mask = leaf_mask2.reshape(-1)
     n_leaf = int(leaf_mask.sum())
+    leaves_per_node = leaf_mask2.sum(axis=1)                     # (n_wide,)
+    leaves_before = np.concatenate([[0], np.cumsum(leaves_per_node)[:-1]])
+    node_pos = (np.arange(n_wide) + leaves_before).astype(np.int64)  # P(i)
+    # rank of each leaf slot within its node (w-order)
+    leaf_rank = np.cumsum(leaf_mask2, axis=1) - leaf_mask2
+    leaf_pos = (node_pos[:, None] + 1 + leaf_rank).reshape(-1)   # valid where leaf
 
     # child refs in packed encoding
     flat_child = np.asarray(child).reshape(-1)
+    internal_target = node_pos[np.clip(flat_child, 0, n_wide - 1)]
     packed_ref = np.where(
         flat_child == int(INVALID_NODE), INVALID_REC,
-        np.where(leaf_mask, -(n_wide + leaf_ids_flat).astype(np.int64) - 1,
-                 flat_child)).astype(np.int32)
+        np.where(leaf_mask, -leaf_pos - 1, internal_target)).astype(np.int32)
     packed_ref = jnp.asarray(packed_ref.reshape(n_wide, W))
 
     n_rec = n_wide + n_leaf
@@ -130,14 +138,13 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     leaf = leaf.at[:, 44:48].set(_f32_bits(pmask))
     leaf = leaf[:n_leaf]
 
-    records = jnp.concatenate([internal, leaf], axis=0)
-    pad = total - n_rec
-    if pad:
-        filler = jnp.zeros((pad, D_ROWS), jnp.float32)
-        # make padding records inert: all children invalid
-        filler = filler.at[:, 0:8].set(
-            _f32_bits(jnp.full((pad, 8), INVALID_REC, jnp.int32)))
-        records = jnp.concatenate([records, filler], axis=0)
+    # scatter internal/leaf records into their interleaved positions
+    records = jnp.zeros((total, D_ROWS), jnp.float32)
+    records = records.at[:, 0:8].set(
+        _f32_bits(jnp.full((total, 8), INVALID_REC, jnp.int32)))  # inert padding
+    records = records.at[jnp.asarray(node_pos)].set(internal)
+    if n_leaf:
+        records = records.at[jnp.asarray(leaf_pos[leaf_mask])].set(leaf)
 
     # (total, 64) -> (G, 64, 128): record r -> tile r//128, lane r%128
     table = records.reshape(G, LANE, D_ROWS).transpose(0, 2, 1)

@@ -73,16 +73,25 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
     def b4(row):
         return jnp.broadcast_to(row, (4, LANE))
 
-    def fetch(rec_id_row):
-        """Gather one 64-row record per lane from the tiled table."""
+    def fetch(rec_id_row, active_row):
+        """Gather one 64-row record per lane from the tiled table.
+
+        Only the dynamic tile range [min(grp), max(grp)] of active lanes is
+        scanned — with morton-sorted (coherent) ray blocks that span is small.
+        """
         grp = rec_id_row // LANE                   # (1,128)
         lane = rec_id_row % LANE
         li = jnp.broadcast_to(lane, (64, LANE))
-        rec = jnp.zeros((64, LANE), jnp.float32)
-        for g in range(G):
-            got = jnp.take_along_axis(table_ref[g], li, axis=1)
-            rec = jnp.where(jnp.broadcast_to(grp == g, (64, LANE)), got, rec)
-        return rec
+        gmin = jnp.min(jnp.where(active_row, grp, jnp.int32(G - 1)))
+        gmax = jnp.max(jnp.where(active_row, grp, jnp.int32(0)))
+
+        def gbody(g, rec):
+            tile = table_ref[g]
+            got = jnp.take_along_axis(tile, li, axis=1)
+            return jnp.where(jnp.broadcast_to(grp == g, (64, LANE)), got, rec)
+
+        return jax.lax.fori_loop(gmin, gmax + 1, gbody,
+                                 jnp.zeros((64, LANE), jnp.float32))
 
     def body(state):
         it, _ = state
@@ -96,7 +105,7 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
         is_node = active & (cur >= 0)
         rec_id = jnp.where(cur >= 0, cur, -cur - 1)
         rec_id = jnp.where(active, rec_id, 0)
-        rec = fetch(rec_id[0:1])
+        rec = fetch(rec_id[0:1], active[0:1])
 
         # ---------------- internal: 8-wide slab test ----------------
         crefs = _i32(rec[0:8])                     # (8,128)
@@ -239,12 +248,42 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
     out_prim_ref[0] = best_ref[0:1]
 
 
+def _coherence_key(org, dir):
+    """Sort key grouping rays by direction octant then origin locality
+    (the queue-sorting analog of the reference's coherent/incoherent split,
+    SURVEY.md §2.8 P2/P3). 30-bit: octant(3) | origin-morton(27)."""
+    from ..core.math import morton_code
+    lo = jnp.min(org, axis=0)
+    up = jnp.max(org, axis=0)
+    q = (org - lo) / jnp.maximum(up - lo, 1e-20)
+    m27 = (morton_code(q) >> 3).astype(jnp.int32)
+    octant = ((dir[:, 0] < 0).astype(jnp.int32)
+              | ((dir[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((dir[:, 2] < 0).astype(jnp.int32) << 2))
+    return (octant << 27) | m27
+
+
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
-                    occlusion: bool = False, interpret: bool = False
+                    occlusion: bool = False, interpret: bool = False,
+                    sort_rays: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace R rays against a packed scene. Returns (t, best_prim) with
-    best_prim = -1 for miss. Inputs are flat (R, 3)/(R,) arrays."""
+    best_prim = -1 for miss. Inputs are flat (R, 3)/(R,) arrays.
+
+    sort_rays: reorder rays by a coherence key so each 128-ray block touches
+    few table tiles (fetch gating); results are returned in original order.
+    """
     R = org.shape[0]
+    ridx = None
+    if sort_rays and R > LANE:
+        key = _coherence_key(org, dir)
+        idx0 = jnp.arange(R, dtype=jnp.int32)
+        (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, ridx) = \
+            jax.lax.sort((key, org[:, 0], org[:, 1], org[:, 2],
+                          dir[:, 0], dir[:, 1], dir[:, 2],
+                          tnear, tfar, ray_mask, idx0), num_keys=1)
+        org = jnp.stack([ox_, oy_, oz_], axis=-1)
+        dir = jnp.stack([dx_, dy_, dz_], axis=-1)
     B = -(-R // LANE)
     pad = B * LANE - R
 
@@ -291,4 +330,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
 
     t_flat = t_out.reshape(B * LANE)[:R]
     prim_flat = prim_out.reshape(B * LANE)[:R]
+    if ridx is not None:
+        _, t_flat, prim_flat = jax.lax.sort(
+            (ridx, t_flat, prim_flat), num_keys=1)
     return t_flat, prim_flat
