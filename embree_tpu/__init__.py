@@ -18,8 +18,12 @@ except Exception:  # pragma: no cover - cache is best-effort
     pass
 
 from .core.ray import RayBatch, HitBatch, make_rays, make_miss_hits, INVALID_ID
+from .geometry import (
+    TriangleGeometry, QuadGeometry, PointGeometry, LineSegmentsGeometry,
+    CurveGeometry, UserGeometry, InstanceGeometry, InstanceArrayGeometry,
+)
 from .scene import (
-    Scene, TriangleGeometry, CommittedScene, BuildQuality,
+    Scene, CommittedScene, BuildQuality,
     intersect, occluded, intersect_brute,
 )
 

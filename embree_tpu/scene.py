@@ -1,47 +1,59 @@
 """Scene: geometry container + commit (BVH build) + intersect/occluded queries.
 
 Role parity with the reference runtime core (kernels/common/scene.{h,cpp}:
-Scene::commit_internal scene.cpp:939, build_cpu_accels :762; geometry types
-kernels/common/scene_triangle_mesh.h etc.; query dispatch kernels/common/rtcore.cpp:599
-rtcIntersect1) — redesigned functional:
+Scene::commit_internal scene.cpp:939, build_cpu_accels :762; query dispatch
+kernels/common/rtcore.cpp:599 rtcIntersect1) — redesigned functional:
 
 - A ``Scene`` is a host-side container of geometries (the mutable API object).
 - ``Scene.commit()`` lowers everything into a ``CommittedScene`` — a pytree of
-  device arrays (merged primitive SoA + BVH) that is the "Traversable": it can be
-  passed straight into jit/pjit functions, donated, sharded, or checkpointed
-  (the array-native analog of RTCTraversable, rtcore_scene.h:102).
+  device arrays (merged typed primitive table + BVH) that is the "Traversable":
+  it can be passed straight into jit/pjit functions, donated, sharded, or
+  checkpointed (the array-native analog of RTCTraversable, rtcore_scene.h:102).
 - ``intersect``/``occluded`` are pure jittable functions over (CommittedScene,
   RayBatch).
 
-The reference keeps one accel per geometry type and loops AccelN over them per ray
-(acceln.cpp:44). We instead merge all primitives of all geometries into ONE typed
-primitive table under ONE BVH with type-tagged prims — a deliberate divergence that
-keeps traversal a single dense kernel (SURVEY.md §A.2 note).
+The reference keeps one accel per geometry type and loops AccelN over them per
+ray (acceln.cpp:44). We instead merge all primitives of all geometries into ONE
+kind-tagged primitive table under ONE BVH — a deliberate divergence that keeps
+traversal a single dense kernel (SURVEY.md §A.2 note). Static facts about the
+scene (which kinds exist, motion blur, filters, user callbacks) ride in the
+pytree aux data, so jit specializes per scene shape — the XLA analog of
+RTCFeatureFlags specialization constants (SURVEY.md §5.6).
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .core import ray as ray_mod
-from .core.math import rcp_safe
 from .core.ray import INVALID_ID, HitBatch, RayBatch, make_miss_hits
+from .ops import curve as curve_ops
+from .ops import line as line_ops
+from .ops import point as point_ops
+from .ops import quad as quad_ops
 from .ops import triangle as tri_ops
 from .accel.bvh import BVH
-from .accel.lbvh import build_lbvh
 from .accel.sah import build_sah
 from .accel.collapse import collapse
 from .accel.pack import PackedScene, pack
 from .accel import traverse as trav_mod
 from .accel import traverse_pallas as trav_pallas
+from .geometry import (
+    KIND_DISC, KIND_FLAT_LINE, KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
+    KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
+    CurveGeometry, InstanceArrayGeometry, InstanceGeometry,
+    LineSegmentsGeometry, PointGeometry, QuadGeometry, TriangleGeometry,
+    UserGeometry, _split_timesteps)
 
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
 LEAF_SIZE = 4
+
+PALLAS_INTERPRET = False  # set True in CPU tests to run the kernel interpreted
 
 
 class BuildQuality:
@@ -52,45 +64,64 @@ class BuildQuality:
     REFIT = 3    # refit existing topology
 
 
-@dataclasses.dataclass
-class TriangleGeometry:
-    """RTC_GEOMETRY_TYPE_TRIANGLE analog (scene_triangle_mesh.h)."""
-    vertices: jnp.ndarray  # (n_verts, 3) float32
-    indices: jnp.ndarray   # (n_tris, 3) int32
-    mask: int = 0xFFFFFFFF
-    enabled: bool = True
-
-    @property
-    def num_prims(self):
-        return self.indices.shape[0]
-
-
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CommittedScene:
-    """Device-resident traversable: merged primitive SoA + BVH (+ packed
-    record table for the Pallas kernel)."""
+    """Device-resident traversable: merged typed primitive table + BVH."""
     bvh: BVH
-    tri_v0: jnp.ndarray        # (T, 3) float32
-    tri_v1: jnp.ndarray
-    tri_v2: jnp.ndarray
-    prim_geom_id: jnp.ndarray  # (T,) uint32
-    prim_local_id: jnp.ndarray # (T,) uint32
-    geom_mask: jnp.ndarray     # (n_geoms,) uint32
-    packed: Optional[PackedScene] = None
+    # per-prim tags
+    prim_kind: jnp.ndarray    # (T,) int32
+    prim_geom: jnp.ndarray    # (T,) uint32 (geometry id; child-scene id for instanced)
+    prim_local: jnp.ndarray   # (T,) uint32 (prim id within its geometry)
+    prim_inst: jnp.ndarray    # (T, 2) uint32 instance id stack (INVALID_ID = none)
+    prim_data: jnp.ndarray    # (T,) int32 index into the kind table
+    prim_mask: jnp.ndarray    # (T,) uint32
+    # triangles (two time steps; _b == step 1, equal to step 0 when static)
+    tri_v0: jnp.ndarray; tri_v1: jnp.ndarray; tri_v2: jnp.ndarray
+    tri_v0b: jnp.ndarray; tri_v1b: jnp.ndarray; tri_v2b: jnp.ndarray
+    # quads (Tq, 4, 3)
+    quad_v: jnp.ndarray; quad_vb: jnp.ndarray
+    # points
+    pnt_c: jnp.ndarray; pnt_r: jnp.ndarray; pnt_n: jnp.ndarray
+    pnt_cb: jnp.ndarray; pnt_rb: jnp.ndarray
+    # line segments (round + flat share the table; curves tessellate here)
+    line_p0: jnp.ndarray; line_r0: jnp.ndarray
+    line_p1: jnp.ndarray; line_r1: jnp.ndarray
+    line_u0: jnp.ndarray; line_u1: jnp.ndarray
+    line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
+    line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
+    # user geometry bounds
+    user_lo: jnp.ndarray; user_up: jnp.ndarray
+    packed: Optional[PackedScene]
+    # --- static aux (jit specialization) ---
+    kinds_present: Tuple[int, ...] = dataclasses.field(default=(), metadata={"static": True})
+    has_motion: bool = dataclasses.field(default=False, metadata={"static": True})
+    filters: Tuple = dataclasses.field(default=(), metadata={"static": True})
+    user_fns: Tuple = dataclasses.field(default=(), metadata={"static": True})
+
+    _ARRAY_FIELDS = None  # filled below
 
     def tree_flatten(self):
-        return ((self.bvh, self.tri_v0, self.tri_v1, self.tri_v2,
-                 self.prim_geom_id, self.prim_local_id, self.geom_mask,
-                 self.packed), None)
+        children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
+        aux = (self.kinds_present, self.has_motion, self.filters, self.user_fns)
+        return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        obj = cls.__new__(cls)
+        for f, c in zip(cls._ARRAY_FIELDS, children):
+            object.__setattr__(obj, f, c)
+        (obj.kinds_present, obj.has_motion, obj.filters, obj.user_fns) = aux
+        return obj
 
     @property
     def num_prims(self):
-        return self.tri_v0.shape[0]
+        return self.prim_kind.shape[0]
+
+
+CommittedScene._ARRAY_FIELDS = tuple(
+    f.name for f in dataclasses.fields(CommittedScene)
+    if not f.metadata.get("static"))
 
 
 class Scene:
@@ -98,11 +129,11 @@ class Scene:
 
     def __init__(self, quality: int = BuildQuality.MEDIUM):
         self.quality = quality
-        self._geoms: Dict[int, TriangleGeometry] = {}
+        self._geoms: Dict[int, object] = {}
         self._next_id = 0
         self.committed: Optional[CommittedScene] = None
 
-    def attach(self, geom: TriangleGeometry) -> int:
+    def attach(self, geom) -> int:
         """rtcAttachGeometry analog; returns the geometry id."""
         gid = self._next_id
         self._geoms[gid] = geom
@@ -112,87 +143,452 @@ class Scene:
     def detach(self, geom_id: int):
         del self._geoms[geom_id]
 
-    def get(self, geom_id: int) -> TriangleGeometry:
+    def get(self, geom_id: int):
         return self._geoms[geom_id]
 
+    # ------------------------------------------------------------------
     def commit(self) -> CommittedScene:
-        """Merge geometries and build the BVH (rtcCommitScene analog).
+        """Merge geometries, build + pack the BVH (rtcCommitScene analog).
 
-        Geometry merge + build run on host (numpy / CPU jax backend) — eager
-        dispatch to a remote TPU is orders of magnitude slower per op; only the
-        finished traversable is transferred (see device transfer below)."""
-        v0s, v1s, v2s, gids, pids = [], [], [], [], []
-        n_geoms = max(self._next_id, 1)
-        geom_mask = np.full(n_geoms, 0xFFFFFFFF, np.uint32)
+        Runs on host (numpy + CPU jax backend) — eager dispatch to a remote
+        TPU is orders of magnitude slower per op; only the finished
+        traversable is transferred to the default device.
+        """
+        m = _Merger()
         for gid, g in sorted(self._geoms.items()):
-            geom_mask[gid] = np.uint32(g.mask)
-            if not g.enabled or g.num_prims == 0:
+            if not getattr(g, "enabled", True):
                 continue
-            tri = np.asarray(g.vertices, np.float32)[np.asarray(g.indices, np.int32)]
-            v0s.append(tri[:, 0]); v1s.append(tri[:, 1]); v2s.append(tri[:, 2])
-            n = g.num_prims
-            gids.append(np.full(n, gid, np.uint32))
-            pids.append(np.arange(n, dtype=np.uint32))
-
-        if not v0s:
+            m.add(g, gid, inst_stack=(), inst_mask=0xFFFFFFFF, xf=None)
+        if m.total() == 0:
             raise ValueError("commit() on empty scene")
 
-        tri_v0 = np.concatenate(v0s)
-        tri_v1 = np.concatenate(v1s)
-        tri_v2 = np.concatenate(v2s)
-        prim_geom_id = np.concatenate(gids)
-        prim_local_id = np.concatenate(pids)
-
-        # Build on the host CPU backend (fast compiles, cheap eager dispatch),
-        # then transfer the finished traversable to the default device — the
-        # analog of the reference building on CPU and uploading RTAS for GPU
-        # (rthwif_embree_builder.cpp).
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            tri_v0c = jax.device_put(tri_v0, cpu)
-            tri_v1c = jax.device_put(tri_v1, cpu)
-            tri_v2c = jax.device_put(tri_v2, cpu)
-            prim_geom_id = jax.device_put(prim_geom_id, cpu)
-            prim_local_id = jax.device_put(prim_local_id, cpu)
-            lo = jnp.minimum(jnp.minimum(tri_v0c, tri_v1c), tri_v2c)
-            up = jnp.maximum(jnp.maximum(tri_v0c, tri_v1c), tri_v2c)
-            # quality tiering mirrors the reference accel selection
-            # (scene.cpp:152-274): LOW -> morton-only, MEDIUM/HIGH -> SAH top.
-            top_levels = 0 if self.quality == BuildQuality.LOW else 16
-            bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
-                                   max_top_levels=top_levels))(lo, up)
-            bvh8, n_wide = jax.jit(partial(collapse, width=8))(bvh2)
-            geom_mask_arr = jnp.asarray(geom_mask)
-            mask_per_prim = geom_mask_arr[prim_geom_id.astype(jnp.int32)]
-            packed = pack(bvh8, int(n_wide), tri_v0c, tri_v1c, tri_v2c,
-                          mask_per_prim)
-
-        default = jax.devices()[0]
-        (bvh8, geom_mask_arr, packed, tri_v0, tri_v1, tri_v2,
-         prim_geom_id, prim_local_id) = jax.device_put(
-            (bvh8, geom_mask_arr, packed, tri_v0c, tri_v1c, tri_v2c,
-             prim_geom_id, prim_local_id), default)
-
-        self.committed = CommittedScene(
-            bvh=bvh8, tri_v0=tri_v0, tri_v1=tri_v1, tri_v2=tri_v2,
-            prim_geom_id=prim_geom_id, prim_local_id=prim_local_id,
-            geom_mask=geom_mask_arr, packed=packed)
+        self.committed = m.finalize(self.quality)
         return self.committed
 
 
-# ---------------------------------------------------------------------------
-# Query functions (pure, jittable) — rtcIntersect* / rtcOccluded* analogs
-# ---------------------------------------------------------------------------
+# =====================================================================
+# merging
+# =====================================================================
 
-def _make_prim_test(scene: CommittedScene, ray_mask):
+_INV = int(INVALID_ID)
+
+
+class _Merger:
+    def __init__(self):
+        self.rows = []          # per-prim (kind, geom, local, inst0, inst1, data_idx, mask)
+        self.tri = {k: [] for k in ("v0", "v1", "v2", "v0b", "v1b", "v2b")}
+        self.quad = {k: [] for k in ("v", "vb")}
+        self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb")}
+        self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
+                                     "p0b", "r0b", "p1b", "r1b")}
+        self.user = {k: [] for k in ("lo", "up")}
+        self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0}
+        self.filters = []
+        self.user_fns = []
+        self.has_motion = False
+
+    def total(self):
+        return sum(r.shape[0] for r in self.rows) if self.rows else 0
+
+    def _emit(self, kind, gid, n, data_start, inst_stack, mask):
+        inst0 = inst_stack[0] if len(inst_stack) > 0 else _INV
+        inst1 = inst_stack[1] if len(inst_stack) > 1 else _INV
+        rows = np.empty((n, 7), np.int64)
+        rows[:, 0] = kind
+        rows[:, 1] = gid
+        rows[:, 2] = np.arange(n)
+        rows[:, 3] = inst0
+        rows[:, 4] = inst1
+        rows[:, 5] = data_start + np.arange(n)
+        rows[:, 6] = mask
+        self.rows.append(rows)
+
+    @staticmethod
+    def _xf_points(xf, pts):
+        if xf is None:
+            return pts
+        return pts @ np.asarray(xf)[:3, :3].T + np.asarray(xf)[:3, 3]
+
+    @staticmethod
+    def _xf_scale(xf):
+        """Uniform scale factor of the transform (radius scaling for round
+        prims; exact only for similarity transforms — documented limitation
+        of instance flattening for non-triangle primitives)."""
+        if xf is None:
+            return 1.0
+        return float(abs(np.linalg.det(np.asarray(xf)[:3, :3]))) ** (1.0 / 3.0)
+
+    def add(self, g, gid, inst_stack, inst_mask, xf, xfb=None):
+        """Add geometry g (with optional instancing transforms xf / xfb for
+        the two motion time steps)."""
+        if isinstance(g, InstanceGeometry):
+            xfs = np.asarray(g.transform, np.float32)
+            xf0, xf1 = (xfs[0], xfs[1]) if xfs.ndim == 3 else (xfs, xfs)
+            self._add_instance_xf(g.scene, gid, inst_stack, g.mask, xf0, xf1)
+            return
+        if isinstance(g, InstanceArrayGeometry):
+            tfs = np.asarray(g.transforms, np.float32)
+            for k in range(tfs.shape[0]):
+                self._add_instance_xf(g.scene, gid, inst_stack, g.mask,
+                                      tfs[k], tfs[k])
+            return
+
+        mask = getattr(g, "mask", 0xFFFFFFFF) & inst_mask
+        if g.filter is not None:
+            self.filters.append((gid, g.filter))
+        if xfb is None:
+            xfb = xf
+        xf_motion = xf is not None and xfb is not None and not np.array_equal(xf, xfb)
+
+        if isinstance(g, TriangleGeometry):
+            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            idx = np.asarray(g.indices, np.int32)
+            t0 = self._xf_points(xf, va[idx])       # (n, 3, 3)
+            t1 = self._xf_points(xfb, vb[idx])
+            self.has_motion |= motion or xf_motion
+            n = idx.shape[0]
+            self._emit(KIND_TRIANGLE, gid, n, self.counts["tri"], inst_stack, mask)
+            self.counts["tri"] += n
+            for key, arr in (("v0", t0[:, 0]), ("v1", t0[:, 1]), ("v2", t0[:, 2]),
+                             ("v0b", t1[:, 0]), ("v1b", t1[:, 1]), ("v2b", t1[:, 2])):
+                self.tri[key].append(np.asarray(arr, np.float32))
+
+        elif isinstance(g, QuadGeometry):
+            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            idx = np.asarray(g.indices, np.int32)
+            q0 = self._xf_points(xf, va[idx])
+            q1 = self._xf_points(xfb, vb[idx])
+            self.has_motion |= motion or xf_motion
+            n = idx.shape[0]
+            self._emit(KIND_QUAD, gid, n, self.counts["quad"], inst_stack, mask)
+            self.counts["quad"] += n
+            self.quad["v"].append(np.asarray(q0, np.float32))
+            self.quad["vb"].append(np.asarray(q1, np.float32))
+
+        elif isinstance(g, PointGeometry):
+            pa, pb, motion = _split_timesteps(g.points, "points")
+            self.has_motion |= motion or xf_motion
+            s = self._xf_scale(xf)
+            c0 = self._xf_points(xf, pa[:, :3]); r0 = pa[:, 3] * s
+            c1 = self._xf_points(xfb, pb[:, :3]); r1 = pb[:, 3] * s
+            n = pa.shape[0]
+            kind = {"sphere": KIND_SPHERE, "disc": KIND_DISC,
+                    "oriented_disc": KIND_ORIENTED_DISC}[g.kind]
+            nrm = (np.asarray(g.normals, np.float32) if g.normals is not None
+                   else np.tile(np.array([[0, 0, 1]], np.float32), (n, 1)))
+            if xf is not None:
+                nrm = nrm @ np.linalg.inv(np.asarray(xf)[:3, :3]).astype(np.float32)
+            self._emit(kind, gid, n, self.counts["pnt"], inst_stack, mask)
+            self.counts["pnt"] += n
+            self.pnt["c"].append(np.asarray(c0, np.float32))
+            self.pnt["r"].append(np.asarray(r0, np.float32))
+            self.pnt["n"].append(np.asarray(nrm, np.float32))
+            self.pnt["cb"].append(np.asarray(c1, np.float32))
+            self.pnt["rb"].append(np.asarray(r1, np.float32))
+
+        elif isinstance(g, LineSegmentsGeometry):
+            va, vb_, motion = _split_timesteps(g.vertices, "vertices")
+            self.has_motion |= motion or xf_motion
+            idx = np.asarray(g.indices, np.int32)
+            s = self._xf_scale(xf)
+            kind = KIND_ROUND_LINE if g.kind == "round" else KIND_FLAT_LINE
+            n = idx.shape[0]
+            u = np.zeros(n, np.float32)
+            self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
+            self.counts["line"] += n
+            for (key, arr) in (
+                    ("p0", self._xf_points(xf, va[idx, :3])),
+                    ("r0", va[idx, 3] * s),
+                    ("p1", self._xf_points(xf, va[idx + 1, :3])),
+                    ("r1", va[idx + 1, 3] * s),
+                    ("u0", u), ("u1", u + 1.0),
+                    ("p0b", self._xf_points(xfb, vb_[idx, :3])),
+                    ("r0b", vb_[idx, 3] * s),
+                    ("p1b", self._xf_points(xfb, vb_[idx + 1, :3])),
+                    ("r1b", vb_[idx + 1, 3] * s)):
+                self.line[key].append(np.asarray(arr, np.float32))
+
+        elif isinstance(g, CurveGeometry):
+            cps, cpsb, motion = _split_timesteps(g.vertices, "vertices")
+            self.has_motion |= motion or xf_motion
+            idx = np.asarray(g.indices, np.int32)
+            if g.basis == curve_ops.BASIS_HERMITE:
+                tan = np.asarray(g.tangents, np.float32)
+                cp = np.stack([cps[idx], tan[idx], cps[idx + 1], tan[idx + 1]], axis=1)
+                cpb = np.stack([cpsb[idx], tan[idx], cpsb[idx + 1], tan[idx + 1]], axis=1)
+            else:
+                gather = idx[:, None] + np.arange(4)[None, :]
+                cp = cps[gather]
+                cpb = cpsb[gather]
+            rate = g.tessellation_rate
+            p0, r0, p1, r1, u0, u1 = map(np.asarray, curve_ops.tessellate_segments(
+                g.basis, jnp.asarray(cp), rate))
+            p0b, r0b, p1b, r1b, _, _ = map(np.asarray, curve_ops.tessellate_segments(
+                g.basis, jnp.asarray(cpb), rate))
+            s = self._xf_scale(xf)
+            kind = KIND_ROUND_LINE if g.kind == "round" else KIND_FLAT_LINE
+            n = p0.shape[0]
+            self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
+            # local prim id = source curve index (sub-segments share it);
+            # u in [0,1] spans the whole curve (reference curve u semantics)
+            self.rows[-1][:, 2] = np.repeat(np.arange(idx.shape[0]), rate)
+            self.counts["line"] += n
+            for (key, arr) in (
+                    ("p0", self._xf_points(xf, p0)), ("r0", r0 * s),
+                    ("p1", self._xf_points(xf, p1)), ("r1", r1 * s),
+                    ("u0", u0), ("u1", u1),
+                    ("p0b", self._xf_points(xfb, p0b)), ("r0b", r0b * s),
+                    ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s)):
+                self.line[key].append(np.asarray(arr, np.float32))
+
+        elif isinstance(g, UserGeometry):
+            lo = np.asarray(g.bounds_lower, np.float32)
+            up = np.asarray(g.bounds_upper, np.float32)
+            assert xf is None, "instanced user geometry is not supported yet"
+            n = lo.shape[0]
+            self.user_fns.append((gid, g.intersect_fn))
+            self._emit(KIND_USER, gid, n, self.counts["user"], inst_stack, mask)
+            self.counts["user"] += n
+            self.user["lo"].append(lo)
+            self.user["up"].append(up)
+
+        else:
+            raise TypeError(f"unsupported geometry type {type(g)}")
+
+    def _add_instance_xf(self, child_scene, gid, inst_stack, mask, xf0, xf1):
+        assert len(inst_stack) < 2, "max 2 instancing levels (MAX_INSTANCE_LEVELS)"
+        for cgid, cg in sorted(child_scene._geoms.items()):
+            if not getattr(cg, "enabled", True):
+                continue
+            if isinstance(cg, InstanceGeometry):
+                sub = np.asarray(cg.transform, np.float32)
+                s0, s1 = (sub[0], sub[1]) if sub.ndim == 3 else (sub, sub)
+                self._add_instance_xf(cg.scene, cgid, inst_stack + (gid,),
+                                      mask & cg.mask,
+                                      _compose_affine(xf0, s0),
+                                      _compose_affine(xf1, s1))
+            elif isinstance(cg, InstanceArrayGeometry):
+                tfs = np.asarray(cg.transforms, np.float32)
+                for k in range(tfs.shape[0]):
+                    self._add_instance_xf(cg.scene, cgid, inst_stack + (gid,),
+                                          mask & cg.mask,
+                                          _compose_affine(xf0, tfs[k]),
+                                          _compose_affine(xf1, tfs[k]))
+            else:
+                self.add(cg, cgid, inst_stack + (gid,), mask, xf0, xf1)
+
+    # ------------------------------------------------------------------
+    def finalize(self, quality) -> CommittedScene:
+        rows = np.concatenate(self.rows, axis=0)
+        T = rows.shape[0]
+
+        def cat(lst, shape_tail):
+            if lst:
+                return np.concatenate(
+                    [np.asarray(a, np.float32).reshape((-1,) + shape_tail)
+                     for a in lst], axis=0)
+            return np.zeros((0,) + shape_tail, np.float32)
+
+        tri = {k: cat(v, (3,)) for k, v in self.tri.items()}
+        quad = {k: cat(v, (4, 3)) for k, v in self.quad.items()}
+        pnt_c = cat(self.pnt["c"], (3,)); pnt_cb = cat(self.pnt["cb"], (3,))
+        pnt_r = cat(self.pnt["r"], ()); pnt_rb = cat(self.pnt["rb"], ())
+        pnt_n = cat(self.pnt["n"], (3,))
+        line = {k: cat(v, (3,) if k.startswith("p") else ())
+                for k, v in self.line.items()}
+        user_lo = cat(self.user["lo"], (3,)); user_up = cat(self.user["up"], (3,))
+
+        # per-prim bounds: union over both time steps (conservative MB bounds,
+        # the LBBox analog — exact MB4D time-split nodes are future work)
+        lo = np.empty((T, 3), np.float32)
+        up = np.empty((T, 3), np.float32)
+        kind = rows[:, 0]
+        data = rows[:, 5].astype(np.int64)
+
+        for k in np.unique(kind):
+            sel = kind == k
+            d = data[sel]
+            if k == KIND_TRIANGLE:
+                pts = [tri["v0"][d], tri["v1"][d], tri["v2"][d],
+                       tri["v0b"][d], tri["v1b"][d], tri["v2b"][d]]
+                a = np.minimum.reduce(pts); b = np.maximum.reduce(pts)
+            elif k == KIND_QUAD:
+                allv = np.concatenate([quad["v"][d], quad["vb"][d]], axis=1)
+                a = allv.min(1); b = allv.max(1)
+            elif k in (KIND_SPHERE, KIND_DISC, KIND_ORIENTED_DISC):
+                a = np.minimum(pnt_c[d] - pnt_r[d][:, None],
+                               pnt_cb[d] - pnt_rb[d][:, None])
+                b = np.maximum(pnt_c[d] + pnt_r[d][:, None],
+                               pnt_cb[d] + pnt_rb[d][:, None])
+            elif k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
+                a = np.minimum.reduce([line["p0"][d] - line["r0"][d][:, None],
+                                       line["p1"][d] - line["r1"][d][:, None],
+                                       line["p0b"][d] - line["r0b"][d][:, None],
+                                       line["p1b"][d] - line["r1b"][d][:, None]])
+                b = np.maximum.reduce([line["p0"][d] + line["r0"][d][:, None],
+                                       line["p1"][d] + line["r1"][d][:, None],
+                                       line["p0b"][d] + line["r0b"][d][:, None],
+                                       line["p1b"][d] + line["r1b"][d][:, None]])
+            elif k == KIND_USER:
+                a = user_lo[d]; b = user_up[d]
+            lo[sel] = a
+            up[sel] = b
+
+        kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
+
+        # ---------------- build on host CPU backend ----------------
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            lo_d = jax.device_put(lo, cpu)
+            up_d = jax.device_put(up, cpu)
+            top_levels = 0 if quality == BuildQuality.LOW else 16
+            bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
+                                   max_top_levels=top_levels))(lo_d, up_d)
+            bvh8, n_wide = jax.jit(partial(collapse, width=8))(bvh2)
+
+            packed = None
+            if (kinds_present == (KIND_TRIANGLE,) and not self.filters
+                    and not self.has_motion):
+                packed = pack(bvh8, int(n_wide),
+                              jax.device_put(tri["v0"], cpu),
+                              jax.device_put(tri["v1"], cpu),
+                              jax.device_put(tri["v2"], cpu),
+                              jax.device_put(rows[:, 6].astype(np.uint32), cpu))
+
+        cs = CommittedScene(
+            bvh=bvh8,
+            prim_kind=rows[:, 0].astype(np.int32),
+            prim_geom=rows[:, 1].astype(np.uint32),
+            prim_local=rows[:, 2].astype(np.uint32),
+            prim_inst=rows[:, 3:5].astype(np.uint32),
+            prim_data=rows[:, 5].astype(np.int32),
+            prim_mask=rows[:, 6].astype(np.uint32),
+            tri_v0=tri["v0"], tri_v1=tri["v1"], tri_v2=tri["v2"],
+            tri_v0b=tri["v0b"], tri_v1b=tri["v1b"], tri_v2b=tri["v2b"],
+            quad_v=quad["v"], quad_vb=quad["vb"],
+            pnt_c=pnt_c, pnt_r=pnt_r, pnt_n=pnt_n, pnt_cb=pnt_cb, pnt_rb=pnt_rb,
+            line_p0=line["p0"], line_r0=line["r0"],
+            line_p1=line["p1"], line_r1=line["r1"],
+            line_u0=line["u0"], line_u1=line["u1"],
+            line_p0b=line["p0b"], line_r0b=line["r0b"],
+            line_p1b=line["p1b"], line_r1b=line["r1b"],
+            user_lo=user_lo, user_up=user_up,
+            packed=packed,
+            kinds_present=kinds_present,
+            has_motion=bool(self.has_motion),
+            filters=tuple(self.filters),
+            user_fns=tuple(self.user_fns),
+        )
+        default = jax.devices()[0]
+        arrays = jax.device_put(
+            tuple(getattr(cs, f) for f in CommittedScene._ARRAY_FIELDS), default)
+        return CommittedScene.tree_unflatten(
+            (cs.kinds_present, cs.has_motion, cs.filters, cs.user_fns), arrays)
+
+
+def _compose_affine(a, b):
+    """3x4 affine composition on numpy: (a . b)(x) = a(b(x))."""
+    out = np.zeros((3, 4), np.float32)
+    out[:3, :3] = a[:3, :3] @ b[:3, :3]
+    out[:3, 3] = a[:3, :3] @ b[:3, 3] + a[:3, 3]
+    return out
+
+
+# =====================================================================
+# query functions (pure, jittable) — rtcIntersect* / rtcOccluded* analogs
+# =====================================================================
+
+def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar):
+    """Closed-form intersect for prims of kind k (full hit info)."""
+    def lerp(a, b):
+        if not scene.has_motion:
+            return a
+        w = time.reshape(time.shape + (1,) * (a.ndim - time.ndim))
+        return a * (1 - w) + b * w
+
+    if k == KIND_TRIANGLE:
+        i = jnp.clip(didx, 0, max(scene.tri_v0.shape[0] - 1, 0))
+        return tri_ops.intersect_moeller(
+            org, dir, lerp(scene.tri_v0[i], scene.tri_v0b[i]),
+            lerp(scene.tri_v1[i], scene.tri_v1b[i]),
+            lerp(scene.tri_v2[i], scene.tri_v2b[i]), tnear, tfar)
+    if k == KIND_QUAD:
+        i = jnp.clip(didx, 0, max(scene.quad_v.shape[0] - 1, 0))
+        q = lerp(scene.quad_v[i], scene.quad_vb[i])
+        return quad_ops.intersect_quad(
+            org, dir, q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :],
+            tnear, tfar)
+    if k in (KIND_SPHERE, KIND_DISC, KIND_ORIENTED_DISC):
+        i = jnp.clip(didx, 0, max(scene.pnt_c.shape[0] - 1, 0))
+        c = lerp(scene.pnt_c[i], scene.pnt_cb[i])
+        r = lerp(scene.pnt_r[i], scene.pnt_rb[i])
+        if k == KIND_SPHERE:
+            return point_ops.intersect_sphere(org, dir, c, r, tnear, tfar)
+        if k == KIND_DISC:
+            return point_ops.intersect_disc(org, dir, c, r, tnear, tfar)
+        return point_ops.intersect_oriented_disc(
+            org, dir, c, r, scene.pnt_n[i], tnear, tfar)
+    if k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
+        i = jnp.clip(didx, 0, max(scene.line_p0.shape[0] - 1, 0))
+        p0 = lerp(scene.line_p0[i], scene.line_p0b[i])
+        p1 = lerp(scene.line_p1[i], scene.line_p1b[i])
+        r0 = lerp(scene.line_r0[i], scene.line_r0b[i])
+        r1 = lerp(scene.line_r1[i], scene.line_r1b[i])
+        fn = (line_ops.intersect_round_line if k == KIND_ROUND_LINE
+              else line_ops.intersect_flat_line)
+        hit, t, s, v, ng = fn(org, dir, p0, r0, p1, r1, tnear, tfar)
+        # map sub-segment param into curve-global u
+        u = scene.line_u0[i] * (1 - s) + scene.line_u1[i] * s
+        return hit, t, u, v, ng
+    if k == KIND_USER:
+        hit = jnp.zeros(tnear.shape, bool)
+        t = jnp.full_like(tnear, jnp.inf)
+        u = jnp.zeros_like(tnear); v = jnp.zeros_like(tnear)
+        ng = jnp.zeros(tnear.shape + (3,), jnp.float32)
+        for gid, fn in scene.user_fns:
+            h2, t2, u2, v2, ng2 = fn(didx, org, dir, tnear, tfar)
+            use = h2 & (t2 < t)
+            hit = hit | h2
+            u = jnp.where(use, u2, u)
+            v = jnp.where(use, v2, v)
+            ng = jnp.where(use[..., None], ng2, ng)
+            t = jnp.where(use, t2, t)
+        return hit, t, u, v, ng
+    raise ValueError(f"unknown prim kind {k}")
+
+
+def _apply_filters(scene, accept, prim, org, dir, t, u, v, ng):
+    """Run geometry intersection filters (filter.h:15 analog): a filter may
+    reject a hit, letting traversal continue past it."""
+    if not scene.filters:
+        return accept
+    geom = scene.prim_geom[prim]
+    for gid, fn in scene.filters:
+        applies = geom == jnp.uint32(gid)
+        keep = fn(org, dir, t, u, v, ng, scene.prim_local[prim], geom)
+        accept = jnp.where(applies, accept & keep, accept)
+    return accept
+
+
+def _make_prim_test(scene: CommittedScene, rays: RayBatch):
     def prim_test(prim, valid, org, dir, tnear, tfar):
-        v0 = scene.tri_v0[prim]
-        v1 = scene.tri_v1[prim]
-        v2 = scene.tri_v2[prim]
-        hit, t, _, _, _ = tri_ops.intersect_moeller(org, dir, v0, v1, v2, tnear, tfar)
-        # ray mask test (filter.h epilog analog; RayMasksTest parity)
-        gmask = scene.geom_mask[scene.prim_geom_id[prim].astype(jnp.int32)]
-        hit = hit & ((ray_mask & gmask) != 0)
+        kind = scene.prim_kind[prim]
+        didx = scene.prim_data[prim]
+        hit = jnp.zeros(tnear.shape, bool)
+        t = jnp.full_like(tnear, jnp.inf)
+        u = jnp.zeros_like(tnear); v = jnp.zeros_like(tnear)
+        ng = jnp.zeros(tnear.shape + (3,), jnp.float32)
+        for k in scene.kinds_present:
+            h, tk, uk, vk, ngk = _kind_test(scene, k, didx, org, dir,
+                                            rays.time, tnear, tfar)
+            sel = (kind == k)
+            hit = jnp.where(sel, h, hit)
+            t = jnp.where(sel, tk, t)
+            u = jnp.where(sel, uk, u)
+            v = jnp.where(sel, vk, v)
+            ng = jnp.where(sel[..., None], ngk, ng)
+        hit = hit & ((rays.mask & scene.prim_mask[prim]) != 0)
+        hit = _apply_filters(scene, hit, prim, org, dir, t, u, v, ng)
         return hit, t
     return prim_test
 
@@ -202,17 +598,14 @@ def _use_pallas(scene: CommittedScene, backend: Optional[str]) -> bool:
         return False
     if backend == "pallas":
         return True
-    # auto: the Pallas kernel runs compiled on TPU only (tests opt in to
-    # interpret mode explicitly via backend="pallas" + PALLAS_INTERPRET)
+    # auto: compiled Pallas kernel on TPU only, and only for scenes the
+    # packed table supports (triangles, no filters, no motion)
     return scene.packed is not None and jax.devices()[0].platform != "cpu"
-
-
-PALLAS_INTERPRET = False  # set True in CPU tests to run the kernel interpreted
 
 
 def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
                      backend: Optional[str]):
-    """Run traversal, return best_prim (global prim index, -1 = miss)."""
+    """Run traversal, return best_prim (merged-table index, -1 = miss)."""
     if _use_pallas(scene, backend):
         _, best = trav_pallas.traverse_packed(
             scene.packed, flat.org, flat.dir, flat.tnear, flat.tfar,
@@ -220,7 +613,7 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
             interpret=PALLAS_INTERPRET)
         return best
     result = trav_mod.traverse(
-        scene.bvh, _make_prim_test(scene, flat.mask),
+        scene.bvh, _make_prim_test(scene, flat),
         flat.org, flat.dir, flat.tnear, flat.tfar,
         occlusion=occlusion, max_leaf_size=LEAF_SIZE)
     return result.best_prim
@@ -230,15 +623,14 @@ def intersect(scene: CommittedScene, rays: RayBatch,
               backend: Optional[str] = None) -> HitBatch:
     """Closest-hit query. Returns a HitBatch with the same leading shape as rays.
 
-    Differentiable w.r.t. scene vertices and ray org/dir: the traversal loop only
-    *selects* the winning primitive (structure treated as constant — the correct
-    semantics for interior hits, SURVEY.md §7 hard-part 5); t/u/v/Ng are then
-    recomputed differentiably by re-intersecting that primitive.
+    Differentiable w.r.t. scene geometry and ray org/dir: the traversal loop
+    only *selects* the winning primitive (structure treated as constant — the
+    correct semantics for interior hits, SURVEY.md §7 hard-part 5); t/u/v/Ng
+    are then recomputed differentiably by re-intersecting that primitive.
     """
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
 
-    # Traversal is pure discrete selection — block gradients through it.
     sg_scene = jax.lax.stop_gradient(scene)
     sg_flat = jax.lax.stop_gradient(flat)
     best = _traverse_select(sg_scene, sg_flat, occlusion=False, backend=backend)
@@ -249,7 +641,7 @@ def intersect(scene: CommittedScene, rays: RayBatch,
 
 def occluded(scene: CommittedScene, rays: RayBatch,
              backend: Optional[str] = None) -> jnp.ndarray:
-    """Any-hit query. Returns bool array (reference encodes as tfar=-inf, ray.h:196)."""
+    """Any-hit query. Returns bool array (reference encodes tfar=-inf, ray.h:196)."""
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
     best = _traverse_select(scene, flat, occlusion=True, backend=backend)
@@ -259,25 +651,34 @@ def occluded(scene: CommittedScene, rays: RayBatch,
 def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBatch:
     """Re-intersect the winning primitive per ray to recover t, u, v, Ng, ids.
 
-    This pass carries the gradient: d(hit)/d(vertices, org, dir) flows through the
-    closed-form Möller solve, while the discrete selection (best_prim) is constant.
+    This pass carries the gradient: d(hit)/d(geometry, org, dir) flows through
+    the closed-form solves, while the discrete selection is constant.
     """
     found = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
-    v0 = scene.tri_v0[prim]
-    v1 = scene.tri_v1[prim]
-    v2 = scene.tri_v2[prim]
-    _, t, u, v, ng = tri_ops.intersect_moeller(
-        rays.org, rays.dir, v0, v1, v2,
-        jnp.full_like(rays.tnear, -jnp.inf), jnp.full_like(rays.tfar, jnp.inf))
+    kind = scene.prim_kind[prim]
+    didx = scene.prim_data[prim]
+
+    t = jnp.full_like(rays.tnear, jnp.inf)
+    u = jnp.zeros_like(rays.tnear); v = jnp.zeros_like(rays.tnear)
+    ng = jnp.zeros(rays.tnear.shape + (3,), jnp.float32)
+    wide_near = jnp.full_like(rays.tnear, -jnp.inf)
+    wide_far = jnp.full_like(rays.tfar, jnp.inf)
+    for k in scene.kinds_present:
+        _, tk, uk, vk, ngk = _kind_test(scene, k, didx, rays.org, rays.dir,
+                                        rays.time, wide_near, wide_far)
+        sel = (kind == k)
+        t = jnp.where(sel, tk, t)
+        u = jnp.where(sel, uk, u)
+        v = jnp.where(sel, vk, v)
+        ng = jnp.where(sel[..., None], ngk, ng)
 
     miss = make_miss_hits(rays.shape)
     hit = HitBatch(
-        t=t,
-        u=u, v=v, ng=ng,
-        prim_id=scene.prim_local_id[prim],
-        geom_id=scene.prim_geom_id[prim],
-        inst_id=miss.inst_id,
+        t=t, u=u, v=v, ng=ng,
+        prim_id=scene.prim_local[prim],
+        geom_id=scene.prim_geom[prim],
+        inst_id=scene.prim_inst[prim],
     )
     return ray_mod.select_hits(found, hit, miss)
 
@@ -287,20 +688,18 @@ def intersect_brute(scene: CommittedScene, rays: RayBatch) -> HitBatch:
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)))
     T = scene.num_prims
+    prim_test = _make_prim_test(scene, flat)
 
-    def scan_tri(carry, prim):
+    def scan_prim(carry, prim):
         t_far, best = carry
-        v0, v1, v2, gmask, prim_idx = prim
-        hit, t, _, _, _ = tri_ops.intersect_moeller(
-            flat.org, flat.dir, v0, v1, v2, flat.tnear, t_far)
-        hit = hit & ((flat.mask & gmask) != 0)
+        hit, t = prim_test(prim, jnp.ones(t_far.shape, bool),
+                           flat.org, flat.dir, flat.tnear, t_far)
         t_far = jnp.where(hit, t, t_far)
-        idx = jnp.where(hit, prim_idx, best)
-        return (t_far, idx), None
+        best = jnp.where(hit, prim, best)
+        return (t_far, best), None
 
-    prims = (scene.tri_v0, scene.tri_v1, scene.tri_v2,
-             scene.geom_mask[scene.prim_geom_id.astype(jnp.int32)],
-             jnp.arange(T, dtype=jnp.int32))
-    (t_out, best), _ = jax.lax.scan(scan_tri, (flat.tfar, jnp.full(flat.shape, -1, jnp.int32)), prims)
+    (t_out, best), _ = jax.lax.scan(
+        scan_prim, (flat.tfar, jnp.full(flat.shape, -1, jnp.int32)),
+        jnp.arange(T, dtype=jnp.int32))
     hits = _reconstruct_hits(scene, flat, best)
     return jax.tree.map(lambda a: a.reshape(shape + a.shape[1:]), hits)
