@@ -1,0 +1,177 @@
+"""Collision detection: triangle pairs within overlapping BVH leaves.
+
+Behavior parity with the reference collider (rtcCollide rtcore_scene.h:346,
+kernels/bvh/bvh_collider.{h,cpp}: simultaneous BVH descent + triangle/triangle
+leaf tests via triangle_triangle_intersector.h; used by the collide cloth
+tutorial). Redesigned bulk-synchronous: every primitive of scene A runs a
+box-query against scene B's BVH in lockstep (the vectorized analog of the
+recursive pair descent), then candidate pairs get an exact Möller tri-tri
+overlap test.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import cross, dot
+from .bvh import BVH, INVALID_NODE
+
+STACK_DEPTH = 64
+MAX_PAIRS_PER_PRIM = 16
+
+
+def tri_tri_overlap(a0, a1, a2, b0, b1, b2, eps=1e-7):
+    """Conservative triangle-triangle intersection test (Möller '97 interval
+    method, the algorithm behind triangle_triangle_intersector.h)."""
+    n_b = cross(b1 - b0, b2 - b0)
+    d_b = -dot(n_b, b0)
+    da = dot(n_b, a0) + d_b
+    db = dot(n_b, a1) + d_b
+    dc = dot(n_b, a2) + d_b
+    same_side_a = ((da > eps) & (db > eps) & (dc > eps)) | \
+                  ((da < -eps) & (db < -eps) & (dc < -eps))
+
+    n_a = cross(a1 - a0, a2 - a0)
+    d_a = -dot(n_a, a0)
+    ea = dot(n_a, b0) + d_a
+    eb = dot(n_a, b1) + d_a
+    ec = dot(n_a, b2) + d_a
+    same_side_b = ((ea > eps) & (eb > eps) & (ec > eps)) | \
+                  ((ea < -eps) & (eb < -eps) & (ec < -eps))
+
+    # interval overlap on the intersection line L = n_a x n_b
+    d = cross(n_a, n_b)
+    axis = jnp.argmax(jnp.abs(d), axis=-1)
+
+    def proj(p):
+        return jnp.take_along_axis(p, axis[..., None], axis=-1)[..., 0]
+
+    def interval(p0, p1, p2, d0, d1, d2):
+        """Parametric interval of the triangle on L (Möller's t1/t2)."""
+        v0, v1, v2 = proj(p0), proj(p1), proj(p2)
+        # rotate so that d0 has sign different from d1, d2
+        def seg(vx, vy, dx, dy):
+            den = jnp.where(jnp.abs(dx - dy) > 1e-30, dx - dy, 1.0)
+            return vx + (vy - vx) * dx / den
+        # choose the vertex alone on its side
+        alone0 = (jnp.sign(d0) != jnp.sign(d1)) & (jnp.sign(d0) != jnp.sign(d2))
+        alone1 = (jnp.sign(d1) != jnp.sign(d0)) & (jnp.sign(d1) != jnp.sign(d2))
+        va, via, vb_, vc_ = (
+            jnp.where(alone0, v0, jnp.where(alone1, v1, v2)),
+            jnp.where(alone0, d0, jnp.where(alone1, d1, d2)),
+            jnp.where(alone0, v1, jnp.where(alone1, v0, v0)),
+            jnp.where(alone0, v2, jnp.where(alone1, v2, v1)))
+        dbq = jnp.where(alone0, d1, jnp.where(alone1, d0, d0))
+        dcq = jnp.where(alone0, d2, jnp.where(alone1, d2, d1))
+        t1 = seg(va, vb_, via, dbq)
+        t2 = seg(va, vc_, via, dcq)
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    a_lo, a_hi = interval(a0, a1, a2, da, db, dc)
+    b_lo, b_hi = interval(b0, b1, b2, ea, eb, ec)
+    overlap = (a_lo <= b_hi) & (b_lo <= a_hi)
+    return ~same_side_a & ~same_side_b & overlap
+
+
+class CollisionResult(NamedTuple):
+    pairs: jnp.ndarray   # (P, 2) int32 (primA, primB) merged indices
+    count: jnp.ndarray   # () int32 number of valid pairs
+
+
+def collide(bvh_b: BVH, b_v0, b_v1, b_v2,
+            a_lo, a_up, a_v0, a_v1, a_v2) -> CollisionResult:
+    """All intersecting (triA, triB) pairs between triangle set A (bounds +
+    verts) and scene B's BVH (rtcCollide analog)."""
+    Q = a_lo.shape[0]
+    W = bvh_b.width
+    qidx = jnp.arange(Q)
+
+    cands = jnp.full((Q, MAX_PAIRS_PER_PRIM), -1, jnp.int32)
+
+    state = dict(
+        active=jnp.ones(Q, bool),
+        cur=jnp.zeros(Q, jnp.int32),
+        sp=jnp.zeros(Q, jnp.int32),
+        stack=jnp.zeros((Q, STACK_DEPTH), jnp.int32),
+        n_cand=jnp.zeros(Q, jnp.int32),
+        cands=cands,
+    )
+
+    def overlap_box(lo1, up1, lo2, up2):
+        return jnp.all((lo1 <= up2) & (lo2 <= up1), axis=-1)
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        active, cur, sp = s["active"], s["cur"], s["sp"]
+        is_node = active & (cur >= 0)
+        is_leaf = active & (cur < 0) & (cur != INVALID_NODE)
+
+        node = jnp.where(is_node, cur, 0)
+        child = bvh_b.node_child[node]
+        hit = overlap_box(bvh_b.node_lower[node], bvh_b.node_upper[node],
+                          a_lo[:, None, :], a_up[:, None, :])
+        hit = hit & (child != INVALID_NODE) & is_node[:, None]
+        num_hits = jnp.sum(hit, axis=-1)
+
+        new_stack, new_sp = s["stack"], sp
+        first = jnp.full(Q, INVALID_NODE, jnp.int32)
+        taken = jnp.zeros(Q, bool)
+        for k in range(W):
+            sel = hit[:, k]
+            use_as_next = sel & ~taken
+            first = jnp.where(use_as_next, child[:, k], first)
+            taken = taken | sel
+            push = sel & ~use_as_next & (new_sp < STACK_DEPTH) & is_node
+            slot = jnp.where(push, new_sp, 0)
+            val = jnp.where(push, child[:, k], new_stack[qidx, slot])
+            new_stack = new_stack.at[qidx, slot].set(val)
+            new_sp = jnp.where(push, new_sp + 1, new_sp)
+
+        # leaf: record candidate prims
+        packed = jnp.where(is_leaf, -(cur + 1), 0)
+        start = packed >> 4
+        count = packed & 0xF
+        n_cand, cl = s["n_cand"], s["cands"]
+        n_prims = bvh_b.prim_order.shape[0]
+        for k in range(4):
+            valid = is_leaf & (k < count) & (n_cand < MAX_PAIRS_PER_PRIM)
+            slot = jnp.clip(start + k, 0, n_prims - 1)
+            prim = bvh_b.prim_order[slot]
+            pos = jnp.where(valid, n_cand, 0)
+            val = jnp.where(valid, prim, cl[qidx, pos])
+            cl = cl.at[qidx, pos].set(val)
+            n_cand = jnp.where(valid, n_cand + 1, n_cand)
+
+        need_pop = is_leaf | (is_node & (num_hits == 0))
+        has = new_sp > 0
+        top = new_stack[qidx, jnp.maximum(new_sp - 1, 0)]
+        cur = jnp.where(need_pop, jnp.where(has, top, INVALID_NODE),
+                        jnp.where(is_node, first, cur))
+        sp = jnp.where(need_pop & has, new_sp - 1, new_sp)
+        active = jnp.where(need_pop, active & has, active)
+        return dict(active=active, cur=cur, sp=sp, stack=new_stack,
+                    n_cand=n_cand, cands=cl)
+
+    out = jax.lax.while_loop(cond, body, state)
+    cand = out["cands"]                               # (Q, M)
+    valid = cand >= 0
+
+    # exact tri-tri test for candidates
+    bi = jnp.clip(cand, 0, b_v0.shape[0] - 1)
+    isect = tri_tri_overlap(
+        a_v0[:, None, :], a_v1[:, None, :], a_v2[:, None, :],
+        b_v0[bi], b_v1[bi], b_v2[bi])
+    good = valid & isect
+
+    pairs_a = jnp.broadcast_to(qidx[:, None], cand.shape)
+    flat_a = pairs_a.reshape(-1)
+    flat_b = cand.reshape(-1)
+    flat_g = good.reshape(-1)
+    order = jnp.argsort(~flat_g)  # valid pairs first
+    pairs = jnp.stack([jnp.where(flat_g[order], flat_a[order], -1),
+                       jnp.where(flat_g[order], flat_b[order], -1)], axis=-1)
+    return CollisionResult(pairs=pairs, count=jnp.sum(flat_g.astype(jnp.int32)))

@@ -41,6 +41,7 @@ from .accel.bvh import BVH
 from .accel.sah import build_sah
 from .accel.collapse import collapse
 from .accel.pack import PackedScene, pack
+from .accel.refit import refit_bvh
 from .accel import traverse as trav_mod
 from .accel import traverse_pallas as trav_pallas
 from .geometry import (
@@ -162,7 +163,18 @@ class Scene:
         if m.total() == 0:
             raise ValueError("commit() on empty scene")
 
-        self.committed = m.finalize(self.quality)
+        if (self.quality == BuildQuality.REFIT and self.committed is not None
+                and m.total() == self.committed.num_prims):
+            # dynamic update: keep topology, refresh bounds bottom-up
+            # (bvh_refit.h / RTC_BUILD_QUALITY_REFIT semantics)
+            self.committed = m.finalize(self.quality,
+                                        refit_from=self.committed,
+                                        n_wide=self._n_wide)
+        else:
+            self.committed = m.finalize(
+                BuildQuality.MEDIUM if self.quality == BuildQuality.REFIT
+                else self.quality)
+            self._n_wide = m.last_n_wide
         return self.committed
 
 
@@ -378,7 +390,8 @@ class _Merger:
                 self.add(cg, cgid, inst_stack + (gid,), mask, xf0, xf1)
 
     # ------------------------------------------------------------------
-    def finalize(self, quality) -> CommittedScene:
+    def finalize(self, quality, refit_from: "CommittedScene" = None,
+                 n_wide: int = None) -> CommittedScene:
         rows = np.concatenate(self.rows, axis=0)
         T = rows.shape[0]
 
@@ -436,20 +449,27 @@ class _Merger:
 
         kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
 
-        # ---------------- build on host CPU backend ----------------
+        # ---------------- build (or refit) on host CPU backend ----------------
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             lo_d = jax.device_put(lo, cpu)
             up_d = jax.device_put(up, cpu)
-            top_levels = 0 if quality == BuildQuality.LOW else 16
-            bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
-                                   max_top_levels=top_levels))(lo_d, up_d)
-            bvh8, n_wide = jax.jit(partial(collapse, width=8))(bvh2)
+            if refit_from is not None:
+                bvh8 = jax.jit(refit_bvh)(
+                    jax.device_put(refit_from.bvh, cpu), lo_d, up_d)
+                self.last_n_wide = n_wide
+            else:
+                top_levels = 0 if quality == BuildQuality.LOW else 16
+                bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
+                                       max_top_levels=top_levels))(lo_d, up_d)
+                bvh8, n_wide_arr = jax.jit(partial(collapse, width=8))(bvh2)
+                n_wide = int(n_wide_arr)
+                self.last_n_wide = n_wide
 
             packed = None
             if (kinds_present == (KIND_TRIANGLE,) and not self.filters
                     and not self.has_motion):
-                packed = pack(bvh8, int(n_wide),
+                packed = pack(bvh8, n_wide,
                               jax.device_put(tri["v0"], cpu),
                               jax.device_put(tri["v1"], cpu),
                               jax.device_put(tri["v2"], cpu),
