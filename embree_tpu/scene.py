@@ -458,6 +458,17 @@ class _Merger:
                 bvh8 = jax.jit(refit_bvh)(
                     jax.device_put(refit_from.bvh, cpu), lo_d, up_d)
                 self.last_n_wide = n_wide
+            elif _native_build_enabled(T):
+                # native C++ builder fast path (embree_tpu/native): the host
+                # runtime analog of the reference's native builder stack
+                from .native import build_bvh8_native
+                nl, nu, nc, order, cnt = build_bvh8_native(lo, up)
+                bvh8 = BVH(node_lower=jax.device_put(nl, cpu),
+                           node_upper=jax.device_put(nu, cpu),
+                           node_child=jax.device_put(nc, cpu),
+                           prim_order=jax.device_put(order, cpu))
+                n_wide = cnt
+                self.last_n_wide = n_wide
             else:
                 top_levels = 0 if quality == BuildQuality.LOW else 16
                 bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
@@ -504,6 +515,21 @@ class _Merger:
             tuple(getattr(cs, f) for f in CommittedScene._ARRAY_FIELDS), default)
         return CommittedScene.tree_unflatten(
             (cs.kinds_present, cs.has_motion, cs.filters, cs.user_fns), arrays)
+
+
+def _native_build_enabled(n_prims: int) -> bool:
+    import os
+    flag = os.environ.get("EMBREE_TPU_NATIVE_BUILD", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    try:
+        from .native import native_available
+    except Exception:
+        return False
+    if flag in ("1", "on", "true"):
+        return native_available()
+    # auto: native wins decisively above ~50k prims (15x at 200k)
+    return n_prims >= 50000 and native_available()
 
 
 def _compose_affine(a, b):
