@@ -21,6 +21,7 @@ from .core.ray import RayBatch, HitBatch, make_rays, make_miss_hits, INVALID_ID
 from .geometry import (
     TriangleGeometry, QuadGeometry, PointGeometry, LineSegmentsGeometry,
     CurveGeometry, UserGeometry, InstanceGeometry, InstanceArrayGeometry,
+    GridGeometry, SubdivisionGeometry,
 )
 from .scene import (
     Scene, CommittedScene, BuildQuality,

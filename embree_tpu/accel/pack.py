@@ -44,13 +44,14 @@ LANE = 128
 class PackedScene:
     """Device-resident packed traversable for the Pallas kernel."""
     table: jnp.ndarray     # (G, 64, 128) float32
+    n_node_tiles: int = 1  # static: tiles [0, n_node_tiles) hold internal records
 
     def tree_flatten(self):
-        return (self.table,), None
+        return (self.table,), (self.n_node_tiles,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(children[0], aux[0])
 
     @property
     def n_tiles(self):
@@ -73,29 +74,29 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     lo = bvh8.node_lower[:n_wide]
     up = bvh8.node_upper[:n_wide]
 
-    # --- record numbering: each wide node's leaf records immediately follow
-    # its internal record, so one coherent ray block addresses a narrow band of
-    # table tiles (the fetch loop scans only [min,max] of the block's tiles) ---
+    # --- record numbering: two pools, [internal 0..n_wide) | leaves] — the
+    # kernel fetches node records and leaf records with SEPARATE span-limited
+    # scans, so each pool must be contiguous. Leaf records are ordered by
+    # (node, slot), which keeps sibling leaves adjacent for coherent blocks ---
     leaf_mask2 = np.asarray(is_leaf(child))                      # (n_wide, 8)
     leaf_mask = leaf_mask2.reshape(-1)
     n_leaf = int(leaf_mask.sum())
-    leaves_per_node = leaf_mask2.sum(axis=1)                     # (n_wide,)
-    leaves_before = np.concatenate([[0], np.cumsum(leaves_per_node)[:-1]])
-    node_pos = (np.arange(n_wide) + leaves_before).astype(np.int64)  # P(i)
-    # rank of each leaf slot within its node (w-order)
-    leaf_rank = np.cumsum(leaf_mask2, axis=1) - leaf_mask2
-    leaf_pos = (node_pos[:, None] + 1 + leaf_rank).reshape(-1)   # valid where leaf
+    leaf_ids_flat = np.cumsum(leaf_mask) - leaf_mask
+    node_pos = np.arange(n_wide, dtype=np.int64)
+    # leaf records start at the first tile boundary after the internal pool
+    leaf_base = -(-n_wide // LANE) * LANE
+    leaf_pos = (leaf_base + leaf_ids_flat).astype(np.int64)
 
     # child refs in packed encoding
     flat_child = np.asarray(child).reshape(-1)
-    internal_target = node_pos[np.clip(flat_child, 0, n_wide - 1)]
     packed_ref = np.where(
         flat_child == int(INVALID_NODE), INVALID_REC,
-        np.where(leaf_mask, -leaf_pos - 1, internal_target)).astype(np.int32)
+        np.where(leaf_mask, -leaf_pos - 1, flat_child)).astype(np.int32)
     packed_ref = jnp.asarray(packed_ref.reshape(n_wide, W))
 
-    n_rec = n_wide + n_leaf
+    n_rec = leaf_base + n_leaf
     G = max(1, -(-n_rec // LANE))
+    G_NODE = max(1, -(-n_wide // LANE))   # tiles holding internal records
     total = G * LANE
 
     # --- internal records ---
@@ -138,7 +139,7 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     leaf = leaf.at[:, 44:48].set(_f32_bits(pmask))
     leaf = leaf[:n_leaf]
 
-    # scatter internal/leaf records into their interleaved positions
+    # scatter internal/leaf records into their pool positions
     records = jnp.zeros((total, D_ROWS), jnp.float32)
     records = records.at[:, 0:8].set(
         _f32_bits(jnp.full((total, 8), INVALID_REC, jnp.int32)))  # inert padding
@@ -148,4 +149,4 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
 
     # (total, 64) -> (G, 64, 128): record r -> tile r//128, lane r%128
     table = records.reshape(G, LANE, D_ROWS).transpose(0, 2, 1)
-    return PackedScene(table=table)
+    return PackedScene(table=table, n_node_tiles=G_NODE)

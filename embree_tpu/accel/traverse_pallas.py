@@ -38,18 +38,26 @@ LANE = 128
 STACK_ROWS = 64          # max pushed refs per ray (depth*(W-1) bound analog)
 MAX_STEPS = 200_000      # runaway guard
 
+# Per-block step counts of the last traverse_packed call (observability — the
+# stat.h traversal-counter analog). May hold a traced value under jit.
+LAST_STEPS = [None]
+
 
 def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
-            out_t_ref, out_prim_ref,
-            stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
-            *, G, occlusion):
+def _kernel(table_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            tnear_ref, tfar_ref, mask_ref,
+            out_t_ref, out_prim_ref, out_steps_ref,
+            stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref, rec_ref,
+            *, G, G_NODE, occlusion):
     INF = jnp.float32(np.inf)
-    org = org_ref[0]          # (3, 128)
-    d = dir_ref[0]
+    # per-component (1,128) ray rows: separate inputs keep XLA from feeding
+    # the kernel a column-major bitcast whose per-block DMA is pathologically
+    # strided (measured 85us/block vs 0.1us with clean layouts)
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tnear = tnear_ref[0]      # (1, 128)
     tfar0 = tfar_ref[0]
     rmask = mask_ref[0]       # (1, 128) int32
@@ -59,8 +67,6 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
     def rcp_safe(x):
         return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
 
-    ox, oy, oz = org[0:1], org[1:2], org[2:3]          # (1,128) rows
-    dx, dy, dz = d[0:1], d[1:2], d[2:3]
     rdx, rdy, rdz = rcp_safe(dx), rcp_safe(dy), rcp_safe(dz)
 
     row4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
@@ -73,25 +79,42 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
     def b4(row):
         return jnp.broadcast_to(row, (4, LANE))
 
-    def fetch(rec_id_row, active_row):
+    def fetch(rec_id_row, node_row, leaf_row):
         """Gather one 64-row record per lane from the tiled table.
 
-        Only the dynamic tile range [min(grp), max(grp)] of active lanes is
-        scanned — with morton-sorted (coherent) ray blocks that span is small.
+        Internal and leaf records live in separate pools (pack.py); each pool
+        is scanned over the dynamic tile span of the lanes that need it, and a
+        pool with no takers this step is skipped entirely (pl.when) — with
+        morton-sorted coherent blocks both spans are small.
         """
         grp = rec_id_row // LANE                   # (1,128)
         lane = rec_id_row % LANE
         li = jnp.broadcast_to(lane, (64, LANE))
-        gmin = jnp.min(jnp.where(active_row, grp, jnp.int32(G - 1)))
-        gmax = jnp.max(jnp.where(active_row, grp, jnp.int32(0)))
+        rec_ref[:] = jnp.zeros((64, LANE), jnp.float32)
 
-        def gbody(g, rec):
-            tile = table_ref[g]
-            got = jnp.take_along_axis(tile, li, axis=1)
-            return jnp.where(jnp.broadcast_to(grp == g, (64, LANE)), got, rec)
+        def scan(sel_row, lo_tile, hi_tile):
+            gmin = jnp.min(jnp.where(sel_row, grp, jnp.int32(hi_tile - 1)))
+            gmax = jnp.max(jnp.where(sel_row, grp, jnp.int32(lo_tile)))
 
-        return jax.lax.fori_loop(gmin, gmax + 1, gbody,
-                                 jnp.zeros((64, LANE), jnp.float32))
+            def gbody(g, _):
+                got = jnp.take_along_axis(table_ref[g], li, axis=1)
+                rec_ref[:] = jnp.where(jnp.broadcast_to(grp == g, (64, LANE)),
+                                       got, rec_ref[:])
+                return 0
+
+            jax.lax.fori_loop(gmin, gmax + 1, gbody, 0)
+
+        GN = min(G_NODE, G)
+
+        @pl.when(jnp.any(node_row))
+        def _():
+            scan(node_row, 0, GN)
+
+        @pl.when(jnp.any(leaf_row))
+        def _():
+            scan(leaf_row, GN if GN < G else 0, G)
+
+        return rec_ref[:]
 
     def body(state):
         it, _ = state
@@ -105,7 +128,7 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
         is_node = active & (cur >= 0)
         rec_id = jnp.where(cur >= 0, cur, -cur - 1)
         rec_id = jnp.where(active, rec_id, 0)
-        rec = fetch(rec_id[0:1], active[0:1])
+        rec = fetch(rec_id[0:1], is_node[0:1], is_leaf[0:1])
 
         # ---------------- internal: 8-wide slab test ----------------
         crefs = _i32(rec[0:8])                     # (8,128)
@@ -242,10 +265,11 @@ def _kernel(table_ref, org_ref, dir_ref, tnear_ref, tfar_ref, mask_ref,
     best_ref[:] = zero8 - 1
     stack_ref[:] = jnp.zeros((STACK_ROWS, LANE), jnp.int32)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    it_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
     out_t_ref[0] = tf_ref[0:1]
     out_prim_ref[0] = best_ref[0:1]
+    out_steps_ref[0] = zero8[0:1] + it_final
 
 
 def _coherence_key(org, dir):
@@ -290,31 +314,35 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     def prep(x, fill):
         x = jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
             if pad else x
-        if x.ndim == 2:   # (R,3) -> (B,3,128)
-            return x.reshape(B, LANE, 3).transpose(0, 2, 1)
         return x.reshape(B, 1, LANE)
 
-    orgp = prep(org.astype(jnp.float32), 0)
-    dirp = prep(dir.astype(jnp.float32), 1)
+    org = org.astype(jnp.float32)
+    dir = dir.astype(jnp.float32)
+    oxp = prep(org[:, 0], 0); oyp = prep(org[:, 1], 0); ozp = prep(org[:, 2], 0)
+    dxp = prep(dir[:, 0], 1); dyp = prep(dir[:, 1], 1); dzp = prep(dir[:, 2], 1)
     tnearp = prep(tnear.astype(jnp.float32), 1)
     tfarp = prep(tfar.astype(jnp.float32), 0)   # pad rays: tnear(1) > tfar(0) -> inactive
     maskp = prep(ray_mask.astype(jnp.int32), 0)
 
     G = packed.n_tiles
-    kernel = functools.partial(_kernel, G=G, occlusion=occlusion)
+    kernel = functools.partial(_kernel, G=G, G_NODE=packed.n_node_tiles,
+                               occlusion=occlusion)
 
     ray_spec = lambda rows: pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
                                          memory_space=pltpu.VMEM)
-    t_out, prim_out = pl.pallas_call(
+    t_out, prim_out, steps_out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # table (whole)
-            ray_spec(3), ray_spec(3), ray_spec(1), ray_spec(1), ray_spec(1),
-        ],
-        out_specs=[ray_spec(1), ray_spec(1)],
+            # constant block index -> Pallas keeps the table resident in VMEM
+            # across grid steps instead of re-DMAing it per ray block
+            pl.BlockSpec((G, 64, LANE), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [ray_spec(1)] * 9,
+        out_specs=[ray_spec(1), ray_spec(1), ray_spec(1)],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, LANE), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, LANE), jnp.int32),
         ],
         scratch_shapes=[
@@ -324,10 +352,12 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
             pltpu.VMEM((8, LANE), jnp.float32),          # t_far
             pltpu.VMEM((8, LANE), jnp.int32),            # best
             pltpu.VMEM((8, LANE), jnp.int32),            # active
+            pltpu.VMEM((64, LANE), jnp.float32),         # fetched record
         ],
         interpret=interpret,
-    )(packed.table, orgp, dirp, tnearp, tfarp, maskp)
+    )(packed.table, oxp, oyp, ozp, dxp, dyp, dzp, tnearp, tfarp, maskp)
 
+    LAST_STEPS[0] = steps_out
     t_flat = t_out.reshape(B * LANE)[:R]
     prim_flat = prim_out.reshape(B * LANE)[:R]
     if ridx is not None:

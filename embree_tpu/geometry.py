@@ -188,3 +188,46 @@ class InstanceArrayGeometry:
     @property
     def num_prims(self):
         return 0
+
+
+@dataclasses.dataclass
+class GridGeometry:
+    """RTC_GEOMETRY_TYPE_GRID (rtcore_geometry.h:390 RTCGrid): regular grids
+    of vertices, triangulated at commit. prim id = grid index; u/v span the
+    whole grid (grid_soa parameterization analog)."""
+    vertices: object             # (n_verts, 3) or (2, n_verts, 3)
+    grids: object                # (n_grids, 4) int: startVert, stride, width, height
+    mask: int = 0xFFFFFFFF
+    enabled: bool = True
+    filter: Optional[FilterFn] = None
+
+    @property
+    def num_prims(self):
+        g = np.asarray(self.grids)
+        return int(((g[:, 2] - 1) * (g[:, 3] - 1)).sum())
+
+
+@dataclasses.dataclass
+class SubdivisionGeometry:
+    """RTC_GEOMETRY_TYPE_SUBDIVISION: Catmull-Clark surface.
+
+    Uniformly subdivided `levels` times at commit (ops/subdiv.py; the
+    ahead-of-time analog of the reference's cached feature-adaptive
+    tessellation). Creases: {(v0,v1): weight}; boundary_interpolation mirrors
+    RTC_SUBDIVISION_MODE smooth-boundary vs pin-corners."""
+    vertices: object             # (n_verts, 3)
+    face_counts: object          # (F,) verts per face
+    indices: object              # flat indices
+    levels: int = 2
+    creases: Optional[dict] = None
+    boundary_interpolation: bool = True
+    mask: int = 0xFFFFFFFF
+    enabled: bool = True
+    filter: Optional[FilterFn] = None
+
+    @property
+    def num_prims(self):
+        F = np.asarray(self.face_counts)
+        per = np.where(F == 4, 4 ** (self.levels - 1) if self.levels else 1,
+                       F * 4 ** max(self.levels - 1, 0))
+        return int(per.sum())

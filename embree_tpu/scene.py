@@ -47,9 +47,9 @@ from .accel import traverse_pallas as trav_pallas
 from .geometry import (
     KIND_DISC, KIND_FLAT_LINE, KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
     KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
-    CurveGeometry, InstanceArrayGeometry, InstanceGeometry,
-    LineSegmentsGeometry, PointGeometry, QuadGeometry, TriangleGeometry,
-    UserGeometry, _split_timesteps)
+    CurveGeometry, GridGeometry, InstanceArrayGeometry, InstanceGeometry,
+    LineSegmentsGeometry, PointGeometry, QuadGeometry, SubdivisionGeometry,
+    TriangleGeometry, UserGeometry, _split_timesteps)
 
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
 LEAF_SIZE = 4
@@ -352,6 +352,47 @@ class _Merger:
                     ("p0b", self._xf_points(xfb, p0b)), ("r0b", r0b * s),
                     ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s)):
                 self.line[key].append(np.asarray(arr, np.float32))
+
+        elif isinstance(g, GridGeometry):
+            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            self.has_motion |= motion or xf_motion
+            grids = np.asarray(g.grids, np.int64)
+            q_idx = []
+            local = []
+            for gi, (sv, stride, w, h) in enumerate(grids):
+                ys, xs = np.meshgrid(np.arange(h - 1), np.arange(w - 1),
+                                     indexing="ij")
+                a = sv + ys * stride + xs
+                q = np.stack([a, a + 1, a + 1 + stride, a + stride],
+                             axis=-1).reshape(-1, 4)
+                q_idx.append(q)
+                local.append(np.full(q.shape[0], gi, np.int64))
+            idx = np.concatenate(q_idx)
+            q0 = self._xf_points(xf, va[idx])
+            q1 = self._xf_points(xfb, vb[idx])
+            n = idx.shape[0]
+            self._emit(KIND_QUAD, gid, n, self.counts["quad"], inst_stack, mask)
+            self.rows[-1][:, 2] = np.concatenate(local)  # prim id = grid index
+            self.counts["quad"] += n
+            self.quad["v"].append(np.asarray(q0, np.float32))
+            self.quad["vb"].append(np.asarray(q1, np.float32))
+
+        elif isinstance(g, SubdivisionGeometry):
+            from .ops.subdiv import catmull_clark
+            verts, quads, qbase = catmull_clark(
+                np.asarray(g.vertices, np.float32),
+                np.asarray(g.face_counts, np.int64),
+                np.asarray(g.indices, np.int64),
+                levels=g.levels, creases=g.creases,
+                boundary_interpolation=g.boundary_interpolation)
+            q0 = self._xf_points(xf, verts[quads])
+            q1 = self._xf_points(xfb, verts[quads])
+            n = quads.shape[0]
+            self._emit(KIND_QUAD, gid, n, self.counts["quad"], inst_stack, mask)
+            self.rows[-1][:, 2] = qbase  # prim id = base face (patch) index
+            self.counts["quad"] += n
+            self.quad["v"].append(np.asarray(q0, np.float32))
+            self.quad["vb"].append(np.asarray(q1, np.float32))
 
         elif isinstance(g, UserGeometry):
             lo = np.asarray(g.bounds_lower, np.float32)
