@@ -488,6 +488,16 @@ class _Merger:
             lo[sel] = a
             up[sel] = b
 
+        # sanitize invalid primitive bounds (NaN/Inf/huge) so they cannot
+        # poison morton codes or node bounds — such prims become zero-volume
+        # boxes at the origin and can never produce hits (primrefgen's
+        # invalid-prim filtering analog, GarbageGeometryTest parity)
+        bad = (~np.isfinite(lo).all(axis=1) | ~np.isfinite(up).all(axis=1)
+               | (np.abs(lo) > 1e18).any(axis=1) | (np.abs(up) > 1e18).any(axis=1))
+        if bad.any():
+            lo[bad] = 0.0
+            up[bad] = 0.0
+
         kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
 
         # ---------------- build (or refit) on host CPU backend ----------------
