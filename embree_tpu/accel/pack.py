@@ -1,20 +1,26 @@
-"""Pack a BVH8 + triangle SoA into the unified record table the Pallas
+"""Pack a BVH8 + triangle SoA into the two record tables the Pallas
 traversal kernel consumes.
 
 Layout rationale (TPU-first): the kernel fetches one record per ray per step
 with a lane-dimension dynamic gather (tpu.dynamic_gather along lanes), so
-records live along LANES (128 per tile) and record features along SUBLANES
-(64 rows). Features are arranged so per-child/per-triangle math lands on
-(8,128)/(4,128) sublane blocks — full-width VPU ops, no transposes:
+records live along LANES (128 per tile) and record features along SUBLANES.
+Lane gathers move one (8,128) register per op and are the kernel's dominant
+latency (~30 cycles each, measured), so records are kept as SMALL as
+possible: internal nodes store child bounds as conservatively-rounded
+bfloat16 PAIRS (two children per int32 row), shrinking a node record to 32
+rows = 4 gather registers — the TPU analog of Embree's QuantizedNode
+(kernels/bvh/bvh_node_qaabb.h). Leaf triangles stay exact f32 (watertightness
+lives in the leaf test, the node test only needs to be conservative).
 
-Internal record (wide node):
-  row 0..7   : child refs, int32 bitcast   (>=0: record id; <0: leaf record
-               ref = -(id)-1; INVALID_REC: empty slot)
-  row 8..15  : child lower.x   row 16..23: lower.y   row 24..31: lower.z
-  row 32..39 : child upper.x   row 40..47: upper.y   row 48..55: upper.z
+Internal record (node_table, int32, 32 rows):
+  row 0..7     : child refs (>=0: node record id; <0: leaf record ref
+                 = -(leaf id)-1; INVALID_REC: empty slot)
+  row 8+4d+k   : dim d of {lo.x,lo.y,lo.z,hi.x,hi.y,hi.z}, children pair
+                 (2k, 2k+1) as bf16 halves (child 2k low 16, 2k+1 high 16);
+                 lo rounded toward -inf, hi toward +inf (boxes only grow)
 
-Leaf record (<= 4 triangles, TriangleM precomputed-edge layout analog,
-kernels/geometry/triangle.h:14):
+Leaf record (leaf_table, float32, 48 rows; <= 4 triangles, TriangleM
+precomputed-edge layout analog, kernels/geometry/triangle.h:14):
   row 0      : count (int32 bitcast)
   row 1..4   : global prim ids (int32 bitcast, original pre-sort indices)
   row 8..11  : v0.x    12..15: v0.y    16..19: v0.z
@@ -22,7 +28,7 @@ kernels/geometry/triangle.h:14):
   row 32..35 : e2.x    36..39: e2.y    40..43: e2.z
   row 44..47 : geometry mask (int32 bitcast)
 
-Record 0 is the root. Table shape: (G, 64, 128) float32, G = ceil(records/128).
+Record 0 of node_table is the root. Table shapes: (G, rows, 128).
 """
 from __future__ import annotations
 
@@ -35,7 +41,8 @@ import numpy as np
 from .bvh import BVH, INVALID_NODE, decode_leaf, is_leaf
 
 INVALID_REC = np.int32(0x40000000)  # empty child slot in packed records
-D_ROWS = 64
+NODE_ROWS = 32
+LEAF_ROWS = 48
 LANE = 128
 
 
@@ -43,73 +50,95 @@ LANE = 128
 @dataclasses.dataclass
 class PackedScene:
     """Device-resident packed traversable for the Pallas kernel."""
-    table: jnp.ndarray     # (G, 64, 128) float32
-    n_node_tiles: int = 1  # static: tiles [0, n_node_tiles) hold internal records
+    node_table: jnp.ndarray    # (GN, 32, 128) int32
+    leaf_table: jnp.ndarray    # (GL, 48, 128) float32
 
     def tree_flatten(self):
-        return (self.table,), (self.n_node_tiles,)
+        return (self.node_table, self.leaf_table), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        return cls(children[0], children[1])
+
+    @property
+    def n_node_tiles(self):
+        return self.node_table.shape[0]
+
+    @property
+    def n_leaf_tiles(self):
+        return self.leaf_table.shape[0]
 
     @property
     def n_tiles(self):
-        return self.table.shape[0]
+        return self.node_table.shape[0] + self.leaf_table.shape[0]
 
 
 def _f32_bits(x_int):
     return jax.lax.bitcast_convert_type(x_int.astype(jnp.int32), jnp.float32)
 
 
+def _bf16_bits_dir(x, toward_pos: bool):
+    """Top-16 float bits of x rounded toward +inf (toward_pos) or -inf.
+
+    Truncating the low 16 mantissa bits rounds toward zero; when that moves
+    the value the wrong way, bump the magnitude by one bf16 ulp (int bits
+    + 0x10000 — exponent carries work out in ieee bit order)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    frac = (b & 0xFFFF) != 0
+    t = b & ~jnp.int32(0xFFFF)
+    neg = b < 0
+    # truncation rounds toward zero: wrong direction for positives when
+    # rounding up and for negatives when rounding down -> bump magnitude
+    bump = frac & (neg != toward_pos)
+    t = jnp.where(bump, t + jnp.int32(0x10000), t)
+    return (t >> 16) & 0xFFFF
+
+
 def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
          leaf_size: int = 4) -> PackedScene:
-    """Pack the first n_wide wide nodes + their leaves into a record table.
+    """Pack the first n_wide wide nodes + their leaves into record tables.
 
     n_wide must be a host int (concrete); shapes derived from it are static.
     """
     assert bvh8.width == 8
     W = 8
     child = bvh8.node_child[:n_wide]          # (n_wide, 8)
-    lo = bvh8.node_lower[:n_wide]
+    lo = bvh8.node_lower[:n_wide]             # (n_wide, 8, 3)
     up = bvh8.node_upper[:n_wide]
 
-    # --- record numbering: two pools, [internal 0..n_wide) | leaves] — the
-    # kernel fetches node records and leaf records with SEPARATE span-limited
-    # scans, so each pool must be contiguous. Leaf records are ordered by
-    # (node, slot), which keeps sibling leaves adjacent for coherent blocks ---
+    # --- record numbering: leaf records ordered by (node, slot), which keeps
+    # sibling leaves adjacent for coherent ray blocks ---
     leaf_mask2 = np.asarray(is_leaf(child))                      # (n_wide, 8)
     leaf_mask = leaf_mask2.reshape(-1)
     n_leaf = int(leaf_mask.sum())
     leaf_ids_flat = np.cumsum(leaf_mask) - leaf_mask
-    node_pos = np.arange(n_wide, dtype=np.int64)
-    # leaf records start at the first tile boundary after the internal pool
-    leaf_base = -(-n_wide // LANE) * LANE
-    leaf_pos = (leaf_base + leaf_ids_flat).astype(np.int64)
 
     # child refs in packed encoding
     flat_child = np.asarray(child).reshape(-1)
     packed_ref = np.where(
         flat_child == int(INVALID_NODE), INVALID_REC,
-        np.where(leaf_mask, -leaf_pos - 1, flat_child)).astype(np.int32)
+        np.where(leaf_mask, -leaf_ids_flat - 1, flat_child)).astype(np.int32)
     packed_ref = jnp.asarray(packed_ref.reshape(n_wide, W))
 
-    n_rec = leaf_base + n_leaf
-    G = max(1, -(-n_rec // LANE))
-    G_NODE = max(1, -(-n_wide // LANE))   # tiles holding internal records
-    total = G * LANE
+    GN = max(1, -(-n_wide // LANE))
+    GL = max(1, -(-max(n_leaf, 1) // LANE))
 
-    # --- internal records ---
-    internal = jnp.zeros((n_wide, D_ROWS), jnp.float32)
-    internal = internal.at[:, 0:8].set(_f32_bits(packed_ref))
-    internal = internal.at[:, 8:16].set(lo[..., 0])
-    internal = internal.at[:, 16:24].set(lo[..., 1])
-    internal = internal.at[:, 24:32].set(lo[..., 2])
-    internal = internal.at[:, 32:40].set(up[..., 0])
-    internal = internal.at[:, 40:48].set(up[..., 1])
-    internal = internal.at[:, 48:56].set(up[..., 2])
+    # --- internal records (int32) ---
+    internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
+    internal = internal.at[:, 0:8].set(packed_ref)
+    comps = (lo[..., 0], lo[..., 1], lo[..., 2],
+             up[..., 0], up[..., 1], up[..., 2])
+    for d, comp in enumerate(comps):
+        h16 = _bf16_bits_dir(comp, toward_pos=(d >= 3))   # (n_wide, 8)
+        pair = h16[:, 0::2] | (h16[:, 1::2] << 16)        # (n_wide, 4)
+        internal = internal.at[:, 8 + 4 * d:12 + 4 * d].set(pair)
 
-    # --- leaf records ---
+    node_recs = jnp.full((GN * LANE, NODE_ROWS), 0, jnp.int32)
+    node_recs = node_recs.at[:, 0:8].set(INVALID_REC)     # inert padding
+    node_recs = node_recs.at[:n_wide].set(internal)
+    node_table = node_recs.reshape(GN, LANE, NODE_ROWS).transpose(0, 2, 1)
+
+    # --- leaf records (float32) ---
     starts, counts = decode_leaf(child)
     starts = jnp.asarray(np.asarray(starts).reshape(-1)[leaf_mask])   # (n_leaf,)
     counts = jnp.asarray(np.asarray(counts).reshape(-1)[leaf_mask])
@@ -123,7 +152,7 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     e2 = jnp.where(valid[..., None], tri_v2[prim] - tri_v0[prim], 0.0)
     pmask = jnp.where(valid, geom_mask_per_prim[prim].astype(jnp.int32), 0)
 
-    leaf = jnp.zeros((max(n_leaf, 1), D_ROWS), jnp.float32)
+    leaf = jnp.zeros((max(n_leaf, 1), LEAF_ROWS), jnp.float32)
     leaf = leaf.at[:, 0].set(_f32_bits(counts))
     leaf = leaf.at[:, 1:1 + leaf_size].set(
         _f32_bits(jnp.where(valid, prim, 0)))
@@ -137,16 +166,9 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     leaf = leaf.at[:, 36:40].set(e2[..., 1])
     leaf = leaf.at[:, 40:44].set(e2[..., 2])
     leaf = leaf.at[:, 44:48].set(_f32_bits(pmask))
-    leaf = leaf[:n_leaf]
 
-    # scatter internal/leaf records into their pool positions
-    records = jnp.zeros((total, D_ROWS), jnp.float32)
-    records = records.at[:, 0:8].set(
-        _f32_bits(jnp.full((total, 8), INVALID_REC, jnp.int32)))  # inert padding
-    records = records.at[jnp.asarray(node_pos)].set(internal)
-    if n_leaf:
-        records = records.at[jnp.asarray(leaf_pos[leaf_mask])].set(leaf)
+    leaf_recs = jnp.zeros((GL * LANE, LEAF_ROWS), jnp.float32)
+    leaf_recs = leaf_recs.at[:max(n_leaf, 1)].set(leaf)
+    leaf_table = leaf_recs.reshape(GL, LANE, LEAF_ROWS).transpose(0, 2, 1)
 
-    # (total, 64) -> (G, 64, 128): record r -> tile r//128, lane r%128
-    table = records.reshape(G, LANE, D_ROWS).transpose(0, 2, 1)
-    return PackedScene(table=table, n_node_tiles=G_NODE)
+    return PackedScene(node_table=node_table, leaf_table=leaf_table)

@@ -4,22 +4,35 @@ The TPU replacement for the reference's per-ray stack machine
 (kernels/bvh/bvh_intersector1.cpp:31: TravRay precompute -> stack loop ->
 N-wide slab test -> distance-sorted descent -> Möller leaf test). Design:
 
-- 128 rays per grid program, one ray per VPU LANE. All per-ray state is a
-  (8,128) row-consistent tile; per-child / per-triangle math runs on
-  (8,128)/(4,128) sublane blocks at full VPU width (the packed record layout in
-  pack.py is arranged exactly for this).
+- U=8 ray groups x 128 rays per grid program, one ray per VPU LANE. Per-child
+  and per-triangle math runs on (8,128)/(4,128) sublane blocks at full VPU
+  width (the packed record layout in pack.py is arranged exactly for this).
+- The traversal step is a SERIAL dependency chain (fetch -> slab -> sort ->
+  stack -> advance) of VMEM gathers whose latency cannot be hidden within one
+  chain: measured 2.2us/step for a single 128-ray group even though the
+  summed throughput cost of the pieces is <0.2us. Running U=8 independent
+  groups per program gives the VLIW scheduler 8 overlapping chains, hiding
+  the latency (the TPU analog of GPU persistent-threads occupancy).
+- Per-group state lives as ROWS of (8,128) VMEM scratch tiles (row u = group
+  u), so one tile load serves all groups; the lax.while_loop carries only
+  scalars (Mosaic cannot yield sub-tile, i1, or layout-mismatched carries).
 - Node/leaf fetch: one record per ray per step via tpu.dynamic_gather along
-  lanes, tiled over the (G, 64, 128) table with masked selects (G static).
-- Traversal state (cur/sp/tfar/best/active) lives in VMEM scratch refs; the
-  lax.while_loop carries only scalars (Mosaic cannot yield sub-tile, i1, or
-  layout-mismatched vector carries).
-- Per-lane short stacks in VMEM scratch (STACK_ROWS,128); pushes are masked
-  row-selects, pops use the 8-sublane dynamic gather per stack block.
-- Ordered descent: per-lane child ranks from pairwise distance comparisons
-  (the (8,8,128) analog of bvh_traverser1.h:58 sorting networks); children are
-  pushed farthest-first so the nearest is visited next.
-- Lockstep is per-128-ray block, not global: blocks retire independently, so
-  the long-tail cost of incoherent rays is bounded per block.
+  lanes. A single fetch loop serves ALL groups one DISTINCT table tile per
+  iteration (min over outstanding tiles) — with morton-sorted coherent blocks
+  the union of tiles across the 8 adjacent groups stays small.
+- Ordered descent via a 6-stage bitonic sort of the 8 (distance,childref)
+  pairs along the sublane axis (the (8,128) analog of bvh_traverser1.h:58
+  sorting networks). Distance keys are bitcast-to-int with the low 3 bits
+  replaced by the child slot, so keys are distinct and ties break cleanly.
+- Per-lane short stacks in VMEM scratch (STACK_ROWS,128) per group. Pushes
+  rotate the sorted far-to-near suffix into stack alignment with ONE sublane
+  gather and write with masked per-block selects; pops gather the top entry
+  per 8-row block from the PRE-push stack image (lanes that push never pop in
+  the same step), so push and pop run in parallel off one set of loads.
+  Everything is branchless: no pl.when / jnp.any scalar synchronization in
+  the step body.
+- Lockstep is per-1024-ray program, not global: programs retire
+  independently, bounding the long-tail cost of incoherent rays.
 """
 from __future__ import annotations
 
@@ -35,32 +48,35 @@ from jax.experimental.pallas import tpu as pltpu
 from .pack import INVALID_REC, PackedScene
 
 LANE = 128
-STACK_ROWS = 64          # max pushed refs per ray (depth*(W-1) bound analog)
+UGRP = 16                # independent 128-ray groups interleaved per program
+STACK_ROWS = 64          # max pushed refs per ray ((W-1)*depth bound analog)
 MAX_STEPS = 200_000      # runaway guard
 
-# Per-block step counts of the last traverse_packed call (observability — the
-# stat.h traversal-counter analog). May hold a traced value under jit.
+# Per-program step counts of the last traverse_packed call (observability —
+# the stat.h traversal-counter analog). May hold a traced value under jit.
 LAST_STEPS = [None]
+
+# Bitonic network for 8 elements: (k, j) compare-exchange stages.
+_SORT_STAGES = ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1))
 
 
 def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _kernel(table_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            tnear_ref, tfar_ref, mask_ref,
+def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
+            mask_ref,
             out_t_ref, out_prim_ref, out_steps_ref,
-            stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref, rec_ref,
-            *, G, G_NODE, occlusion):
+            stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
+            nrec_ref, lrec_ref, need_ref,
+            *, GN, GL, occlusion):
     INF = jnp.float32(np.inf)
-    # per-component (1,128) ray rows: separate inputs keep XLA from feeding
-    # the kernel a column-major bitcast whose per-block DMA is pathologically
-    # strided (measured 85us/block vs 0.1us with clean layouts)
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tnear = tnear_ref[0]      # (1, 128)
+    # ray components as (8,128) tiles: row u = group u
+    ox, oy, oz = org_ref[0, 0], org_ref[0, 1], org_ref[0, 2]   # (8,128)
+    dx, dy, dz = dir_ref[0, 0], dir_ref[0, 1], dir_ref[0, 2]
+    tnear = tnear_ref[0]      # (8,128): row u = group u
     tfar0 = tfar_ref[0]
-    rmask = mask_ref[0]       # (1, 128) int32
+    rmask = mask_ref[0]
 
     eps = jnp.float32(1e-18)
 
@@ -70,8 +86,9 @@ def _kernel(table_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     rdx, rdy, rdz = rcp_safe(dx), rcp_safe(dy), rcp_safe(dz)
 
     row4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
-    rowS = jax.lax.broadcasted_iota(jnp.int32, (STACK_ROWS, LANE), 0)
-    zero8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0) * 0  # non-replicated 0
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    zero8 = row8 * 0  # non-replicated 0
+    zeroU = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
 
     def b8(row):   # (1,128) -> (8,128)
         return jnp.broadcast_to(row, (8, LANE))
@@ -79,197 +96,237 @@ def _kernel(table_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def b4(row):
         return jnp.broadcast_to(row, (4, LANE))
 
-    def fetch(rec_id_row, node_row, leaf_row):
-        """Gather one 64-row record per lane from the tiled table.
+    def fetch(tab_ref, out_ref, rows, Gp, need_ref, rec_id_all, need_all):
+        """Gather one rows-row record per lane per group from one pool. One
+        fetch loop serves all groups, one DISTINCT table tile per iteration
+        (trip count = number of distinct tiles needed by the union of the
+        groups; zero iterations when no lane is in this pool this step)."""
+        # clamp: corrupt refs must not become out-of-bounds tile reads (the
+        # GarbageGeometryTest analog — a bad BVH may misreport, never fault)
+        grp = jnp.clip(rec_id_all // LANE, 0, Gp - 1)  # (U,128) row u = group
+        lane = rec_id_all % LANE
+        need_ref[:] = jnp.where(need_all, 1, 0) + zeroU
 
-        Internal and leaf records live in separate pools (pack.py); each pool
-        is scanned over the dynamic tile span of the lanes that need it, and a
-        pool with no takers this step is skipped entirely (pl.when) — with
-        morton-sorted coherent blocks both spans are small.
-        """
-        grp = rec_id_row // LANE                   # (1,128)
-        lane = rec_id_row % LANE
-        li = jnp.broadcast_to(lane, (64, LANE))
-        rec_ref[:] = jnp.zeros((64, LANE), jnp.float32)
+        def cond(n):
+            return n > 0
 
-        def scan(sel_row, lo_tile, hi_tile):
-            gmin = jnp.min(jnp.where(sel_row, grp, jnp.int32(hi_tile - 1)))
-            gmax = jnp.max(jnp.where(sel_row, grp, jnp.int32(lo_tile)))
+        def body(_):
+            need = need_ref[:] > 0                 # (U,128)
+            g = jnp.min(jnp.where(need, grp, jnp.int32(Gp)))   # scalar
+            tile = tab_ref[g]                      # (rows,128)
+            sel = need & (grp == g)
+            for u in range(UGRP):
+                li = jnp.broadcast_to(lane[u:u + 1], (rows, LANE))
+                got = jnp.take_along_axis(tile, li, axis=1)
+                out_ref[u] = jnp.where(
+                    jnp.broadcast_to(sel[u:u + 1], (rows, LANE)),
+                    got, out_ref[u])
+            left = jnp.where(need & ~sel, 1, 0)
+            need_ref[:] = left + zeroU * 0
+            return jnp.sum(left)
 
-            def gbody(g, _):
-                got = jnp.take_along_axis(table_ref[g], li, axis=1)
-                rec_ref[:] = jnp.where(jnp.broadcast_to(grp == g, (64, LANE)),
-                                       got, rec_ref[:])
-                return 0
-
-            jax.lax.fori_loop(gmin, gmax + 1, gbody, 0)
-
-        GN = min(G_NODE, G)
-
-        @pl.when(jnp.any(node_row))
-        def _():
-            scan(node_row, 0, GN)
-
-        @pl.when(jnp.any(leaf_row))
-        def _():
-            scan(leaf_row, GN if GN < G else 0, G)
-
-        return rec_ref[:]
+        jax.lax.while_loop(cond, body, jnp.sum(need_ref[:]))
+        return need_all
 
     def body(state):
         it, _ = state
-        active = act_ref[:] > 0                    # (8,128) bool
-        cur = cur_ref[:]
-        sp = sp_ref[:]
-        t_far = tf_ref[:]
-        best = best_ref[:]
+        active_all = act_ref[:] > 0                # (8,128) row u = group u
+        cur_all = cur_ref[:]
+        sp_all = sp_ref[:]
+        tf_all = tf_ref[:]
+        best_all = best_ref[:]
 
-        is_leaf = active & (cur < 0)
-        is_node = active & (cur >= 0)
-        rec_id = jnp.where(cur >= 0, cur, -cur - 1)
-        rec_id = jnp.where(active, rec_id, 0)
-        rec = fetch(rec_id[0:1], is_node[0:1], is_leaf[0:1])
+        at_node_all = active_all & (cur_all >= 0)
+        at_leaf_all = active_all & (cur_all < 0)
+        is_node_all = fetch(ntab_ref, nrec_ref, 32, GN, need_ref,
+                            jnp.where(at_node_all, cur_all, 0), at_node_all)
+        is_leaf_all = fetch(ltab_ref, lrec_ref, 48, GL, need_ref,
+                            jnp.where(at_leaf_all, -cur_all - 1, 0),
+                            at_leaf_all)
+        stall_all = active_all & ~(is_node_all | is_leaf_all)
 
-        # ---------------- internal: 8-wide slab test ----------------
-        crefs = _i32(rec[0:8])                     # (8,128)
-        tx0 = (rec[8:16] - b8(ox)) * b8(rdx)
-        tx1 = (rec[32:40] - b8(ox)) * b8(rdx)
-        ty0 = (rec[16:24] - b8(oy)) * b8(rdy)
-        ty1 = (rec[40:48] - b8(oy)) * b8(rdy)
-        tz0 = (rec[24:32] - b8(oz)) * b8(rdz)
-        tz1 = (rec[48:56] - b8(oz)) * b8(rdz)
-        tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.maximum(jnp.minimum(tz0, tz1), b8(tnear)))
-        tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.minimum(jnp.maximum(tz0, tz1), t_far))
-        hit = (tent <= tex) & (crefs != INVALID_REC) & is_node
-        dist = jnp.where(hit, tent, INF)
+        new_cur, new_sp_rows, new_tf, new_best, new_act = [], [], [], [], []
+        for u in range(UGRP):
+            active = active_all[u:u + 1]           # (1,128) bool
+            cur = cur_all[u:u + 1]
+            sp = b8(sp_all[u:u + 1])               # (8,128) for stack math
+            t_far = tf_all[u:u + 1]
+            best = best_all[u:u + 1]
+            is_leaf = is_leaf_all[u:u + 1]
+            is_node = is_node_all[u:u + 1]
 
-        # per-lane ranks across the child (sublane) axis
-        d_i = dist[:, None, :]                     # (8,1,128)
-        d_j = dist[None, :, :]                     # (1,8,128)
-        j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1)
-                  < jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0))
-        less = ((d_j < d_i) | ((d_j == d_i) & j_lt_i)) & hit[None, :, :]
-        rank = jnp.sum(less.astype(jnp.int32), axis=1)   # (8,128)
-        num_hits = zero8 + jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
+            nrec = nrec_ref[u]                     # (32,128) int32
+            lrec = lrec_ref[u]                     # (48,128) float32
+            oxu, oyu, ozu = ox[u:u + 1], oy[u:u + 1], oz[u:u + 1]
+            dxu, dyu, dzu = dx[u:u + 1], dy[u:u + 1], dz[u:u + 1]
+            rdxu, rdyu, rdzu = rdx[u:u + 1], rdy[u:u + 1], rdz[u:u + 1]
+            tnearu = tnear[u:u + 1]
+            rmasku = rmask[u:u + 1]
 
-        sel0 = hit & (rank == 0)
-        next_ref = zero8 + jnp.sum(jnp.where(sel0, crefs, 0), axis=0,
-                                   keepdims=True)
+            # ---------------- internal: 8-wide slab test ----------------
+            crefs = nrec[0:8]                      # (8,128) child refs
+            # decode bf16-pair bounds: child c of dim d lives in row
+            # 8+4d+(c//2), halfword c%2; expand rows to sublanes then shift
+            # the halfword into the f32 top bits
+            half16 = (row8 & 1) * 16
+            cpair = row8 >> 1
 
-        # push ranks 7..1 (farthest first)
-        new_sp = sp
-        for r in range(7, 0, -1):
-            selr = hit & (rank == r)
-            refr = jnp.sum(jnp.where(selr, crefs, 0), axis=0, keepdims=True)
-            pushed = jnp.sum(selr.astype(jnp.int32), axis=0, keepdims=True)
-            push = (zero8 + pushed > 0) & (new_sp < STACK_ROWS)
+            def bnd(d):
+                # Mosaic gathers need index shape == input shape: read an
+                # 8-row window covering the 4 pair-rows of dim d
+                w = min(8 + 4 * d, 32 - 8)
+                exp = jnp.take_along_axis(nrec[w:w + 8],
+                                          cpair + (8 + 4 * d - w), axis=0)
+                return jax.lax.bitcast_convert_type(
+                    (exp >> half16) << 16, jnp.float32)
 
-            @pl.when(jnp.any(push))
-            def _():
-                rowsel = (rowS == jnp.broadcast_to(new_sp[0:1],
-                                                   (STACK_ROWS, LANE))) \
-                    & jnp.broadcast_to(push[0:1], (STACK_ROWS, LANE))
-                stack_ref[:] = jnp.where(
-                    rowsel, jnp.broadcast_to(refr, (STACK_ROWS, LANE)),
-                    stack_ref[:])
+            lox, loy, loz, hix, hiy, hiz = (bnd(d) for d in range(6))
+            tx0 = (lox - b8(oxu)) * b8(rdxu)
+            tx1 = (hix - b8(oxu)) * b8(rdxu)
+            ty0 = (loy - b8(oyu)) * b8(rdyu)
+            ty1 = (hiy - b8(oyu)) * b8(rdyu)
+            tz0 = (loz - b8(ozu)) * b8(rdzu)
+            tz1 = (hiz - b8(ozu)) * b8(rdzu)
+            tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.maximum(jnp.minimum(tz0, tz1), b8(tnearu)))
+            tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), b8(t_far)))
+            hit = (tent <= tex) & (crefs != INVALID_REC) & b8(is_node)
 
-            new_sp = jnp.where(push, new_sp + 1, new_sp)
+            # sort keys: distance bits (>=0 so monotonic as int) with the low
+            # 3 bits replaced by the child slot -> distinct keys, clean
+            # tie-breaks; misses sort to the end as +inf
+            kd = _i32(jnp.maximum(tent, 0.0))
+            key = jnp.where(hit, (kd & ~jnp.int32(7)) | row8,
+                            jnp.int32(0x7F800000) | row8)
+            ref = crefs
+            for k, j in _SORT_STAGES:
+                perm8 = row8 ^ j
+                keepmin = ((row8 & k) == 0) == ((row8 & j) == 0)
+                key_p = jnp.take_along_axis(key, perm8, axis=0)
+                ref_p = jnp.take_along_axis(ref, perm8, axis=0)
+                # keys distinct, so (>=) == (>): keepmin lanes swap when the
+                # partner is smaller, the others when it is larger
+                swap = (key_p < key) == keepmin
+                key = jnp.where(swap, key_p, key)
+                ref = jnp.where(swap, ref_p, ref)
 
-        # ---------------- leaf: 4 Möller tests ----------------
-        cnt = _i32(rec[0:1])                       # (1,128)
-        pids = _i32(rec[1:5])                      # (4,128)
-        v0x, v0y, v0z = rec[8:12], rec[12:16], rec[16:20]
-        e1x, e1y, e1z = rec[20:24], rec[24:28], rec[28:32]
-        e2x, e2y, e2z = rec[32:36], rec[36:40], rec[40:44]
-        pmask = _i32(rec[44:48])
+            h = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)  # (1,128)
+            h8 = b8(h)
+            next_ref = ref[0:1]
 
-        bdx, bdy, bdz = b4(dx), b4(dy), b4(dz)
-        pvx = bdy * e2z - bdz * e2y
-        pvy = bdz * e2x - bdx * e2z
-        pvz = bdx * e2y - bdy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
-        tvx = b4(ox) - v0x
-        tvy = b4(oy) - v0y
-        tvz = b4(oz) - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (bdx * qvx + bdy * qvy + bdz * qvz) * inv_det
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            # -------- stack: read blocks once; pop from the pre-push image
+            # (pushing lanes never pop in the same step), merge pushes in --
+            npush = jnp.where(b8(is_node), jnp.maximum(h8 - 1, 0), 0)
+            items = jnp.take_along_axis(ref, jnp.clip(h8 - 1 - row8, 0, 7),
+                                        axis=0)
+            aligned = jnp.take_along_axis(items, (row8 - sp) & 7, axis=0)
+            new_sp = sp + npush
+            top = new_sp - 1
+            popped = zero8
+            for b in range(STACK_ROWS // 8):
+                blk = stack_ref[u, 8 * b:8 * b + 8]
+                localp = top - 8 * b
+                selb = (localp >= 0) & (localp < 8)
+                got = jnp.take_along_axis(blk, jnp.clip(localp, 0, 7), axis=0)
+                popped = jnp.where(selb, got, popped)
+                local = row8 + (8 * b) - sp
+                inr = (local >= 0) & (local < npush)
+                stack_ref[u, 8 * b:8 * b + 8] = jnp.where(inr, aligned, blk)
 
-        kvalid = ((row4 < b4(cnt)) & is_leaf[0:4]
-                  & (jnp.abs(det) > 1e-24)
-                  & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= b4(tnear)) & (t <= t_far[0:4])
-                  & ((pmask & b4(rmask)) != 0))
-        tl = jnp.where(kvalid, t, INF)
-        tmin = jnp.min(tl, axis=0, keepdims=True)          # (1,128)
-        tmin8 = zero8.astype(jnp.float32) + tmin
-        found = is_leaf & (tmin8 < t_far)
-        eqmin = kvalid & (tl == b4(tmin))
-        m0 = eqmin[0:1]
-        m1 = eqmin[1:2] & ~m0
-        m2 = eqmin[2:3] & ~(m0 | m1)
-        m3 = eqmin[3:4] & ~(m0 | m1 | m2)
-        pid_sel = (jnp.where(m0, pids[0:1], 0) + jnp.where(m1, pids[1:2], 0)
-                   + jnp.where(m2, pids[2:3], 0) + jnp.where(m3, pids[3:4], 0))
-        pid8 = zero8 + pid_sel
+            # ---------------- leaf: 4 Möller tests ----------------
+            cnt = _i32(lrec[0:1])                  # (1,128)
+            pids = _i32(lrec[1:5])                 # (4,128)
+            v0x, v0y, v0z = lrec[8:12], lrec[12:16], lrec[16:20]
+            e1x, e1y, e1z = lrec[20:24], lrec[24:28], lrec[28:32]
+            e2x, e2y, e2z = lrec[32:36], lrec[36:40], lrec[40:44]
+            pmask = _i32(lrec[44:48])
 
-        t_far = jnp.where(found, tmin8, t_far)
-        best = jnp.where(found, pid8, best)
+            bdx, bdy, bdz = b4(dxu), b4(dyu), b4(dzu)
+            pvx = bdy * e2z - bdz * e2y
+            pvy = bdz * e2x - bdx * e2z
+            pvz = bdx * e2y - bdy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
+            tvx = b4(oxu) - v0x
+            tvy = b4(oyu) - v0y
+            tvz = b4(ozu) - v0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (bdx * qvx + bdy * qvy + bdz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-        # ---------------- advance ----------------
-        need_pop = is_leaf | (is_node & (num_hits == 0))
-        has_stack = new_sp > 0
-        top = jnp.maximum(new_sp - 1, 0)
-        popped = zero8
-        for bblk in range(STACK_ROWS // 8):
-            blk = stack_ref[8 * bblk:8 * bblk + 8]
-            idx8 = jnp.clip(top - 8 * bblk, 0, 7)
-            got = jnp.take_along_axis(blk, idx8, axis=0)
-            selb = (top // 8) == bblk
-            popped = jnp.where(selb, got, popped)
+            kvalid = ((row4 < b4(cnt)) & b4(is_leaf)
+                      & (jnp.abs(det) > 1e-24)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt >= b4(tnearu)) & (tt <= b4(t_far))
+                      & ((pmask & b4(rmasku)) != 0))
+            tl = jnp.where(kvalid, tt, INF)
+            tmin = jnp.min(tl, axis=0, keepdims=True)      # (1,128)
+            found = is_leaf & (tmin < t_far)
+            eqmin = kvalid & (tl == b4(tmin))
+            m0 = eqmin[0:1]
+            m1 = eqmin[1:2] & ~m0
+            m2 = eqmin[2:3] & ~(m0 | m1)
+            m3 = eqmin[3:4] & ~(m0 | m1 | m2)
+            pid_sel = (jnp.where(m0, pids[0:1], 0)
+                       + jnp.where(m1, pids[1:2], 0)
+                       + jnp.where(m2, pids[2:3], 0)
+                       + jnp.where(m3, pids[3:4], 0))
 
-        do_pop = need_pop & has_stack
-        cur = jnp.where(need_pop, jnp.where(do_pop, popped, cur),
-                        jnp.where(is_node, next_ref, cur))
-        sp = jnp.where(do_pop, new_sp - 1, new_sp)
-        active = active & (~need_pop | do_pop)
-        if occlusion:
-            active = active & (best < 0)
+            t_far = jnp.where(found, tmin, t_far)
+            best = jnp.where(found, pid_sel, best)
 
-        act_i = jnp.where(active, 1, 0).astype(jnp.int32)
-        cur_ref[:] = cur
-        sp_ref[:] = sp
-        tf_ref[:] = t_far
-        best_ref[:] = best
-        act_ref[:] = act_i
-        n_active = jnp.sum(act_i[0:1])
+            # ---------------- advance (stalled lanes keep their state) ----
+            has_next = is_node & (h[0:1] > 0)
+            need_pop = (is_node | is_leaf) & ~has_next
+            sp_row = new_sp[0:1]
+            do_pop = need_pop & (sp_row > 0)
+            cur = jnp.where(has_next, next_ref,
+                            jnp.where(do_pop, popped[0:1], cur))
+            sp_row = jnp.where(do_pop, sp_row - 1, sp_row)
+            active = has_next | do_pop | stall_all[u:u + 1]
+            if occlusion:
+                active = active & (best < 0)
+
+            new_cur.append(cur)
+            new_sp_rows.append(sp_row)
+            new_tf.append(t_far)
+            new_best.append(best)
+            new_act.append(jnp.where(active, 1, 0).astype(jnp.int32))
+
+        cur_ref[:] = jnp.concatenate(new_cur, axis=0)
+        sp_ref[:] = jnp.concatenate(new_sp_rows, axis=0)
+        tf_ref[:] = jnp.concatenate(new_tf, axis=0)
+        best_ref[:] = jnp.concatenate(new_best, axis=0)
+        act = jnp.concatenate(new_act, axis=0)
+        act_ref[:] = act
+        n_active = jnp.sum(act)
         return it + 1, n_active
 
     def cond(state):
         it, n_active = state
         return (n_active > 0) & (it < MAX_STEPS)
 
-    # init state refs (zero8 keeps layouts non-replicated for Mosaic)
-    act_ref[:] = zero8 + jnp.where(tnear <= tfar0, 1, 0).astype(jnp.int32)
-    cur_ref[:] = zero8
-    sp_ref[:] = zero8
-    tf_ref[:] = zero8.astype(jnp.float32) + tfar0
-    best_ref[:] = zero8 - 1
-    stack_ref[:] = jnp.zeros((STACK_ROWS, LANE), jnp.int32)
+    # init state refs (zeroU keeps layouts non-replicated for Mosaic)
+    act_ref[:] = zeroU + jnp.where(tnear <= tfar0, 1, 0).astype(jnp.int32)
+    cur_ref[:] = zeroU
+    sp_ref[:] = zeroU
+    tf_ref[:] = zeroU.astype(jnp.float32) + tfar0
+    best_ref[:] = zeroU - 1
+    stack_ref[:] = jnp.zeros((UGRP, STACK_ROWS, LANE), jnp.int32)
+    nrec_ref[:] = jnp.zeros((UGRP, 32, LANE), jnp.int32)
+    lrec_ref[:] = jnp.zeros((UGRP, 48, LANE), jnp.float32)
 
     it_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-    out_t_ref[0] = tf_ref[0:1]
-    out_prim_ref[0] = best_ref[0:1]
-    out_steps_ref[0] = zero8[0:1] + it_final
+    out_t_ref[0] = tf_ref[:]
+    out_prim_ref[0] = best_ref[:]
+    out_steps_ref[0] = zeroU + it_final
 
 
 def _coherence_key(org, dir):
@@ -294,8 +351,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     """Trace R rays against a packed scene. Returns (t, best_prim) with
     best_prim = -1 for miss. Inputs are flat (R, 3)/(R,) arrays.
 
-    sort_rays: reorder rays by a coherence key so each 128-ray block touches
-    few table tiles (fetch gating); results are returned in original order.
+    sort_rays: reorder rays by a coherence key so each program touches few
+    table tiles (fetch gating); results are returned in original order.
     """
     R = org.shape[0]
     ridx = None
@@ -308,58 +365,70 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                           tnear, tfar, ray_mask, idx0), num_keys=1)
         org = jnp.stack([ox_, oy_, oz_], axis=-1)
         dir = jnp.stack([dx_, dy_, dz_], axis=-1)
-    B = -(-R // LANE)
-    pad = B * LANE - R
+
+    PROG = UGRP * LANE
+    B = -(-R // PROG)
+    pad = B * PROG - R
 
     def prep(x, fill):
         x = jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
             if pad else x
-        return x.reshape(B, 1, LANE)
+        return x.reshape(B, UGRP, LANE)
 
     org = org.astype(jnp.float32)
     dir = dir.astype(jnp.float32)
-    oxp = prep(org[:, 0], 0); oyp = prep(org[:, 1], 0); ozp = prep(org[:, 2], 0)
-    dxp = prep(dir[:, 0], 1); dyp = prep(dir[:, 1], 1); dzp = prep(dir[:, 2], 1)
+    # (B, 3, UGRP, LANE): component-major keeps each (8,128) tile one DMA row
+    orgp = jnp.stack([prep(org[:, 0], 0), prep(org[:, 1], 0),
+                      prep(org[:, 2], 0)], axis=1)
+    dirp = jnp.stack([prep(dir[:, 0], 1), prep(dir[:, 1], 1),
+                      prep(dir[:, 2], 1)], axis=1)
     tnearp = prep(tnear.astype(jnp.float32), 1)
     tfarp = prep(tfar.astype(jnp.float32), 0)   # pad rays: tnear(1) > tfar(0) -> inactive
     maskp = prep(ray_mask.astype(jnp.int32), 0)
 
-    G = packed.n_tiles
-    kernel = functools.partial(_kernel, G=G, G_NODE=packed.n_node_tiles,
-                               occlusion=occlusion)
+    GN = packed.n_node_tiles
+    GL = packed.n_leaf_tiles
+    kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion)
 
-    ray_spec = lambda rows: pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
-                                         memory_space=pltpu.VMEM)
+    ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, UGRP, LANE), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
     t_out, prim_out, steps_out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            # constant block index -> Pallas keeps the table resident in VMEM
-            # across grid steps instead of re-DMAing it per ray block
-            pl.BlockSpec((G, 64, LANE), lambda b: (0, 0, 0),
+            # constant block index -> Pallas keeps the tables resident in
+            # VMEM across grid steps instead of re-DMAing them per ray block
+            pl.BlockSpec((GN, 32, LANE), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [ray_spec(1)] * 9,
-        out_specs=[ray_spec(1), ray_spec(1), ray_spec(1)],
+            pl.BlockSpec((GL, 48, LANE), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((STACK_ROWS, LANE), jnp.int32),   # stack
-            pltpu.VMEM((8, LANE), jnp.int32),            # cur
-            pltpu.VMEM((8, LANE), jnp.int32),            # sp
-            pltpu.VMEM((8, LANE), jnp.float32),          # t_far
-            pltpu.VMEM((8, LANE), jnp.int32),            # best
-            pltpu.VMEM((8, LANE), jnp.int32),            # active
-            pltpu.VMEM((64, LANE), jnp.float32),         # fetched record
+            pltpu.VMEM((UGRP, STACK_ROWS, LANE), jnp.int32),   # stacks
+            pltpu.VMEM((UGRP, LANE), jnp.int32),         # cur   (row=group)
+            pltpu.VMEM((UGRP, LANE), jnp.int32),         # sp
+            pltpu.VMEM((UGRP, LANE), jnp.float32),       # t_far
+            pltpu.VMEM((UGRP, LANE), jnp.int32),         # best
+            pltpu.VMEM((UGRP, LANE), jnp.int32),         # active
+            pltpu.VMEM((UGRP, 32, LANE), jnp.int32),     # fetched node recs
+            pltpu.VMEM((UGRP, 48, LANE), jnp.float32),   # fetched leaf recs
+            pltpu.VMEM((UGRP, LANE), jnp.int32),         # fetch outstanding
         ],
         interpret=interpret,
-    )(packed.table, oxp, oyp, ozp, dxp, dyp, dzp, tnearp, tfarp, maskp)
+    )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp)
 
     LAST_STEPS[0] = steps_out
-    t_flat = t_out.reshape(B * LANE)[:R]
-    prim_flat = prim_out.reshape(B * LANE)[:R]
+    t_flat = t_out.reshape(B * PROG)[:R]
+    prim_flat = prim_out.reshape(B * PROG)[:R]
     if ridx is not None:
         _, t_flat, prim_flat = jax.lax.sort(
             (ridx, t_flat, prim_flat), num_keys=1)

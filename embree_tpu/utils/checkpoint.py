@@ -56,7 +56,7 @@ def _scene_treedef(has_packed: bool):
         if f == "bvh":
             dummy_children.append(BVH(z, z, z, z))
         elif f == "packed":
-            dummy_children.append(PackedScene(z) if has_packed else None)
+            dummy_children.append(PackedScene(z, z) if has_packed else None)
         else:
             dummy_children.append(z)
     return jax.tree.structure(tuple(dummy_children))
