@@ -15,9 +15,12 @@ lives in the leaf test, the node test only needs to be conservative).
 Internal record (node_table, int32, 32 rows):
   row 0..7     : child refs (>=0: node record id; <0: leaf record ref
                  = -(leaf id)-1; INVALID_REC: empty slot)
-  row 8+4d+k   : dim d of {lo.x,lo.y,lo.z,hi.x,hi.y,hi.z}, children pair
-                 (2k, 2k+1) as bf16 halves (child 2k low 16, 2k+1 high 16);
-                 lo rounded toward -inf, hi toward +inf (boxes only grow)
+  row 8+8d+c   : dim d (x,y,z) of child c: lo as the LOW 16 bits (bf16
+                 pattern, decode = bits<<16), hi as the HIGH 16 bits
+                 (decode = bits & 0xFFFF0000); lo rounded toward -inf, hi
+                 toward +inf (boxes only grow). Row index == child slot, so
+                 the fetched (8,128) register needs NO sublane expansion
+                 gather in the kernel — decode is two shifts + bitcasts.
 
 Leaf record (leaf_table, float32, 48 rows; <= 4 triangles, TriangleM
 precomputed-edge layout analog, kernels/geometry/triangle.h:14):
@@ -126,12 +129,11 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     # --- internal records (int32) ---
     internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
     internal = internal.at[:, 0:8].set(packed_ref)
-    comps = (lo[..., 0], lo[..., 1], lo[..., 2],
-             up[..., 0], up[..., 1], up[..., 2])
-    for d, comp in enumerate(comps):
-        h16 = _bf16_bits_dir(comp, toward_pos=(d >= 3))   # (n_wide, 8)
-        pair = h16[:, 0::2] | (h16[:, 1::2] << 16)        # (n_wide, 4)
-        internal = internal.at[:, 8 + 4 * d:12 + 4 * d].set(pair)
+    for d in range(3):
+        lo16 = _bf16_bits_dir(lo[..., d], toward_pos=False)   # (n_wide, 8)
+        hi16 = _bf16_bits_dir(up[..., d], toward_pos=True)
+        row = lo16 | (hi16 << 16)                             # (n_wide, 8)
+        internal = internal.at[:, 8 + 8 * d:16 + 8 * d].set(row)
 
     node_recs = jnp.full((GN * LANE, NODE_ROWS), 0, jnp.int32)
     node_recs = node_recs.at[:, 0:8].set(INVALID_REC)     # inert padding

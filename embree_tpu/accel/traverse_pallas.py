@@ -100,36 +100,42 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         """Gather one rows-row record per lane per group from one pool. One
         fetch loop serves all groups, one DISTINCT table tile per iteration
         (trip count = number of distinct tiles needed by the union of the
-        groups; zero iterations when no lane is in this pool this step)."""
+        groups; zero iterations when no lane is in this pool this step).
+
+        Gathers are issued in (8,128) chunks: Mosaic's lane-gather is ~1.6ns
+        for an 8-row operand but falls off a 125x cliff above 32 rows
+        (measured, perf/micro_ops.py). One scalar reduction per iteration:
+        the loop carries the next tile id (min over remaining); Gp means
+        done. Returns (need_all, trip_count)."""
         # clamp: corrupt refs must not become out-of-bounds tile reads (the
         # GarbageGeometryTest analog — a bad BVH may misreport, never fault)
         grp = jnp.clip(rec_id_all // LANE, 0, Gp - 1)  # (U,128) row u = group
         lane = rec_id_all % LANE
         need_ref[:] = jnp.where(need_all, 1, 0) + zeroU
 
-        def cond(n):
-            return n > 0
-
-        def body(_):
+        def body(state):
+            g, trips = state
             need = need_ref[:] > 0                 # (U,128)
-            g = jnp.min(jnp.where(need, grp, jnp.int32(Gp)))   # scalar
             tile = tab_ref[g]                      # (rows,128)
             sel = need & (grp == g)
             for u in range(UGRP):
-                li = jnp.broadcast_to(lane[u:u + 1], (rows, LANE))
-                got = jnp.take_along_axis(tile, li, axis=1)
-                out_ref[u] = jnp.where(
-                    jnp.broadcast_to(sel[u:u + 1], (rows, LANE)),
-                    got, out_ref[u])
-            left = jnp.where(need & ~sel, 1, 0)
-            need_ref[:] = left + zeroU * 0
-            return jnp.sum(left)
+                li = jnp.broadcast_to(lane[u:u + 1], (8, LANE))
+                selu = jnp.broadcast_to(sel[u:u + 1], (8, LANE))
+                for r in range(0, rows, 8):
+                    got = jnp.take_along_axis(tile[r:r + 8], li, axis=1)
+                    out_ref[u, r:r + 8] = jnp.where(selu, got,
+                                                    out_ref[u, r:r + 8])
+            left = need & ~sel
+            need_ref[:] = jnp.where(left, 1, 0) + zeroU * 0
+            return jnp.min(jnp.where(left, grp, jnp.int32(Gp))), trips + 1
 
-        jax.lax.while_loop(cond, body, jnp.sum(need_ref[:]))
-        return need_all
+        g0 = jnp.min(jnp.where(need_ref[:] > 0, grp, jnp.int32(Gp)))
+        _, trips = jax.lax.while_loop(
+            lambda s: s[0] < Gp, body, (g0, jnp.int32(0)))
+        return need_all, trips
 
     def body(state):
-        it, _ = state
+        it, _, ntrips, ltrips = state
         active_all = act_ref[:] > 0                # (8,128) row u = group u
         cur_all = cur_ref[:]
         sp_all = sp_ref[:]
@@ -138,11 +144,16 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
         at_node_all = active_all & (cur_all >= 0)
         at_leaf_all = active_all & (cur_all < 0)
-        is_node_all = fetch(ntab_ref, nrec_ref, 32, GN, need_ref,
-                            jnp.where(at_node_all, cur_all, 0), at_node_all)
-        is_leaf_all = fetch(ltab_ref, lrec_ref, 48, GL, need_ref,
-                            jnp.where(at_leaf_all, -cur_all - 1, 0),
-                            at_leaf_all)
+        # stack blocks live in [0, bmax): bound by the deepest stack across
+        # all groups (+7 for this step's pushes). ONE scalar reduction per
+        # step; typical depth <= 16 so the loop visits 2-3 of the 8 blocks.
+        bmax = jnp.minimum(jnp.max(sp_all) + 14, STACK_ROWS) // 8 + 1
+        is_node_all, nt = fetch(ntab_ref, nrec_ref, 32, GN, need_ref,
+                                jnp.where(at_node_all, cur_all, 0),
+                                at_node_all)
+        is_leaf_all, lt = fetch(ltab_ref, lrec_ref, 48, GL, need_ref,
+                                jnp.where(at_leaf_all, -cur_all - 1, 0),
+                                at_leaf_all)
         stall_all = active_all & ~(is_node_all | is_leaf_all)
 
         new_cur, new_sp_rows, new_tf, new_best, new_act = [], [], [], [], []
@@ -165,22 +176,17 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
             # ---------------- internal: 8-wide slab test ----------------
             crefs = nrec[0:8]                      # (8,128) child refs
-            # decode bf16-pair bounds: child c of dim d lives in row
-            # 8+4d+(c//2), halfword c%2; expand rows to sublanes then shift
-            # the halfword into the f32 top bits
-            half16 = (row8 & 1) * 16
-            cpair = row8 >> 1
+            # decode packed lo|hi bf16 rows (row == child slot, no gather):
+            # lo = bits<<16, hi = bits & 0xFFFF0000
 
             def bnd(d):
-                # Mosaic gathers need index shape == input shape: read an
-                # 8-row window covering the 4 pair-rows of dim d
-                w = min(8 + 4 * d, 32 - 8)
-                exp = jnp.take_along_axis(nrec[w:w + 8],
-                                          cpair + (8 + 4 * d - w), axis=0)
-                return jax.lax.bitcast_convert_type(
-                    (exp >> half16) << 16, jnp.float32)
+                bits = nrec[8 + 8 * d:16 + 8 * d]
+                lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+                hi = jax.lax.bitcast_convert_type(
+                    bits & ~jnp.int32(0xFFFF), jnp.float32)
+                return lo, hi
 
-            lox, loy, loz, hix, hiy, hiz = (bnd(d) for d in range(6))
+            (lox, hix), (loy, hiy), (loz, hiz) = (bnd(d) for d in range(3))
             tx0 = (lox - b8(oxu)) * b8(rdxu)
             tx1 = (hix - b8(oxu)) * b8(rdxu)
             ty0 = (loy - b8(oyu)) * b8(rdyu)
@@ -225,16 +231,19 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             aligned = jnp.take_along_axis(items, (row8 - sp) & 7, axis=0)
             new_sp = sp + npush
             top = new_sp - 1
-            popped = zero8
-            for b in range(STACK_ROWS // 8):
-                blk = stack_ref[u, 8 * b:8 * b + 8]
+
+            def stack_blk(b, popped):
+                blk = stack_ref[u, pl.ds(8 * b, 8)]
                 localp = top - 8 * b
                 selb = (localp >= 0) & (localp < 8)
                 got = jnp.take_along_axis(blk, jnp.clip(localp, 0, 7), axis=0)
                 popped = jnp.where(selb, got, popped)
                 local = row8 + (8 * b) - sp
                 inr = (local >= 0) & (local < npush)
-                stack_ref[u, 8 * b:8 * b + 8] = jnp.where(inr, aligned, blk)
+                stack_ref[u, pl.ds(8 * b, 8)] = jnp.where(inr, aligned, blk)
+                return popped
+
+            popped = jax.lax.fori_loop(0, bmax, stack_blk, zero8)
 
             # ---------------- leaf: 4 Möller tests ----------------
             cnt = _i32(lrec[0:1])                  # (1,128)
@@ -306,11 +315,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         act = jnp.concatenate(new_act, axis=0)
         act_ref[:] = act
         n_active = jnp.sum(act)
-        return it + 1, n_active
+        return it + 1, n_active, ntrips + nt, ltrips + lt
 
     def cond(state):
-        it, n_active = state
-        return (n_active > 0) & (it < MAX_STEPS)
+        return (state[1] > 0) & (state[0] < MAX_STEPS)
 
     # init state refs (zeroU keeps layouts non-replicated for Mosaic)
     act_ref[:] = zeroU + jnp.where(tnear <= tfar0, 1, 0).astype(jnp.int32)
@@ -322,11 +330,15 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     nrec_ref[:] = jnp.zeros((UGRP, 32, LANE), jnp.int32)
     lrec_ref[:] = jnp.zeros((UGRP, 48, LANE), jnp.float32)
 
-    it_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    it_final, _, ntrips, ltrips = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
 
     out_t_ref[0] = tf_ref[:]
     out_prim_ref[0] = best_ref[:]
+    # row 0: step count; row 1: node fetch-loop trips; row 2: leaf trips
     out_steps_ref[0] = zeroU + it_final
+    out_steps_ref[0, 1:2] = jnp.broadcast_to(ntrips, (1, LANE))
+    out_steps_ref[0, 2:3] = jnp.broadcast_to(ltrips, (1, LANE))
 
 
 def _coherence_key(org, dir):

@@ -1,0 +1,83 @@
+"""Instrument the traversal kernel: steps per program, time per step,
+and estimated fetch-loop trip counts on the headline bench scene."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import embree_tpu as et
+from embree_tpu.accel import traverse_pallas as tp
+
+
+def sphere_mesh(n_theta=64, n_phi=128, radius=1.0):
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    t, p = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack([
+        radius * np.sin(t) * np.cos(p),
+        radius * np.sin(t) * np.sin(p),
+        radius * np.cos(t)], axis=-1).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            idx.append([a, b, d])
+            idx.append([a, d, c])
+    return verts, np.asarray(idx, np.int32)
+
+
+def main():
+    n_rays = 1 << 20
+    verts, idx = sphere_mesh()
+    scene = et.Scene()
+    scene.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx)))
+    cs = scene.commit()
+    packed = cs.packed
+    print("node tiles:", packed.n_node_tiles, "leaf tiles:", packed.n_leaf_tiles)
+
+    rng = np.random.default_rng(0)
+    org = jnp.asarray(rng.uniform(-2, 2, (n_rays, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
+    tnear = jnp.zeros((n_rays,), jnp.float32)
+    tfar = jnp.full((n_rays,), np.inf, jnp.float32)
+    mask = jnp.full((n_rays,), -1, jnp.int32)
+
+    def run(org, d):
+        t, prim = tp.traverse_packed(packed, org, d, tnear, tfar, mask)
+        return t, prim, tp.LAST_STEPS[0]
+
+    runj = jax.jit(run)
+    t, prim, steps = jax.block_until_ready(runj(org, d))
+    t0 = time.perf_counter()
+    t, prim, steps = jax.block_until_ready(runj(org, d))
+    el = time.perf_counter() - t0
+    arr = np.asarray(steps)
+    steps = arr[:, 0, 0]  # per program
+    ntrips, ltrips = arr[:, 1, 0], arr[:, 2, 0]
+    print(f"time {el*1e3:.1f} ms -> {n_rays/el/1e6:.2f} Mrays/s")
+    print(f"programs {steps.shape[0]}, steps/program: mean {steps.mean():.0f} "
+          f"min {steps.min()} max {steps.max()} p90 {np.percentile(steps, 90):.0f}")
+    print(f"total steps {steps.sum()}, time/step {el/steps.sum()*1e9:.0f} ns")
+    print(f"node fetch trips/step {ntrips.sum()/steps.sum():.2f}, "
+          f"leaf trips/step {ltrips.sum()/steps.sum():.2f}")
+
+    # distribution of work using the step counts of a 1-group variant:
+    # compare sorted vs unsorted
+    t2, p2, steps2 = jax.block_until_ready(
+        jax.jit(lambda o, dd: (lambda r: (r[0], r[1], tp.LAST_STEPS[0]))(
+            tp.traverse_packed(packed, o, dd, tnear, tfar, mask,
+                               sort_rays=False)))(org, d))
+    s2 = np.asarray(steps2)[:, 0, 0]
+    print(f"unsorted steps/program: mean {s2.mean():.0f} max {s2.max()}")
+
+
+if __name__ == "__main__":
+    main()
