@@ -4,15 +4,16 @@ traversal kernel consumes.
 Layout rationale (TPU-first): the kernel fetches one record per ray per step
 with a lane-dimension dynamic gather (tpu.dynamic_gather along lanes), so
 records live along LANES (128 per tile) and record features along SUBLANES.
-Lane gathers move one (8,128) register per op and are the kernel's dominant
-latency (~30 cycles each, measured), so records are kept as SMALL as
-possible: internal nodes store child bounds as conservatively-rounded
-bfloat16 PAIRS (two children per int32 row), shrinking a node record to 32
-rows = 4 gather registers — the TPU analog of Embree's QuantizedNode
+Record features are grouped in 8-ROW REGISTER-ALIGNED fields so the
+tile-parallel kernel (traverse_pallas.py) can consume each field as a whole
+(UGRP*8, 128) register block with zero sub-register slicing. Lane gathers
+move one (8,128) register per op, so records are kept SMALL: internal nodes
+store child bounds as conservatively-rounded bfloat16 PAIRS (two bounds per
+int32 row) — the TPU analog of Embree's QuantizedNode
 (kernels/bvh/bvh_node_qaabb.h). Leaf triangles stay exact f32 (watertightness
 lives in the leaf test, the node test only needs to be conservative).
 
-Internal record (node_table, int32, 32 rows):
+Internal record (node_table, int32, 32 rows = 4 gather chunks):
   row 0..7     : child refs (>=0: node record id; <0: leaf record ref
                  = -(leaf id)-1; INVALID_REC: empty slot)
   row 8+8d+c   : dim d (x,y,z) of child c: lo as the LOW 16 bits (bf16
@@ -22,14 +23,20 @@ Internal record (node_table, int32, 32 rows):
                  the fetched (8,128) register needs NO sublane expansion
                  gather in the kernel — decode is two shifts + bitcasts.
 
-Leaf record (leaf_table, float32, 48 rows; <= 4 triangles, TriangleM
-precomputed-edge layout analog, kernels/geometry/triangle.h:14):
-  row 0      : count (int32 bitcast)
-  row 1..4   : global prim ids (int32 bitcast, original pre-sort indices)
-  row 8..11  : v0.x    12..15: v0.y    16..19: v0.z
-  row 20..23 : e1.x    24..27: e1.y    28..31: e1.z
-  row 32..35 : e2.x    36..39: e2.y    40..43: e2.z
-  row 44..47 : geometry mask (int32 bitcast)
+Leaf record (leaf_table, float32, 8 triangles per leaf, LEAF_WIDTH == the
+node branching factor so leaf tests ride the same (8*U,128) register layout
+as the node slab test; TriangleM precomputed-edge analog,
+kernels/geometry/triangle.h:14):
+  rows 0..7   : v0.x (triangle slot s = row s)     8..15  : v0.y
+  rows 16..23 : v0.z     24..31: e1.x    32..39: e1.y    40..47: e1.z
+  rows 48..55 : e2.x     56..63: e2.y    64..71: e2.z
+  [rows 72..79: geometry mask (int32 bitcast) — ONLY when the scene uses
+   non-default masks (has_mask); mask-free scenes save the fetch chunk.
+   The static specialization is the RTCFeatureFlags analog.]
+Empty slots are all-zero v0/e1/e2: det == 0 so they can never report a hit,
+which removes the need for count/valid rows entirely. Triangle identity is
+IMPLICIT: hit slot s of leaf record r encodes to 8*r + s, mapped back to the
+original primitive id through pid_map (one XLA gather after traversal).
 
 Record 0 of node_table is the root. Table shapes: (G, rows, 128).
 """
@@ -45,7 +52,9 @@ from .bvh import BVH, INVALID_NODE, decode_leaf, is_leaf
 
 INVALID_REC = np.int32(0x40000000)  # empty child slot in packed records
 NODE_ROWS = 32
-LEAF_ROWS = 48
+LEAF_WIDTH = 8               # triangles per leaf record (== node width)
+LEAF_ROWS_NOMASK = 72
+LEAF_ROWS_MASK = 80
 LANE = 128
 
 
@@ -54,14 +63,17 @@ LANE = 128
 class PackedScene:
     """Device-resident packed traversable for the Pallas kernel."""
     node_table: jnp.ndarray    # (GN, 32, 128) int32
-    leaf_table: jnp.ndarray    # (GL, 48, 128) float32
+    leaf_table: jnp.ndarray    # (GL, 72|80, 128) float32
+    pid_map: jnp.ndarray       # (GL*128*8,) int32: slot -> original prim id
+    has_mask: bool = False     # static: leaf records carry a mask chunk
 
     def tree_flatten(self):
-        return (self.node_table, self.leaf_table), ()
+        return ((self.node_table, self.leaf_table, self.pid_map),
+                (self.has_mask,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1])
+        return cls(children[0], children[1], children[2], aux[0])
 
     @property
     def n_node_tiles(self):
@@ -98,12 +110,14 @@ def _bf16_bits_dir(x, toward_pos: bool):
 
 
 def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
-         leaf_size: int = 4) -> PackedScene:
+         leaf_size: int = LEAF_WIDTH, has_mask: bool = True) -> PackedScene:
     """Pack the first n_wide wide nodes + their leaves into record tables.
 
     n_wide must be a host int (concrete); shapes derived from it are static.
+    has_mask must be a host bool (static kernel specialization).
     """
     assert bvh8.width == 8
+    assert leaf_size <= LEAF_WIDTH
     W = 8
     child = bvh8.node_child[:n_wide]          # (n_wide, 8)
     lo = bvh8.node_lower[:n_wide]             # (n_wide, 8, 3)
@@ -125,6 +139,7 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
 
     GN = max(1, -(-n_wide // LANE))
     GL = max(1, -(-max(n_leaf, 1) // LANE))
+    leaf_rows = LEAF_ROWS_MASK if has_mask else LEAF_ROWS_NOMASK
 
     # --- internal records (int32) ---
     internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
@@ -145,32 +160,39 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     starts = jnp.asarray(np.asarray(starts).reshape(-1)[leaf_mask])   # (n_leaf,)
     counts = jnp.asarray(np.asarray(counts).reshape(-1)[leaf_mask])
 
-    slot = starts[:, None] + jnp.arange(leaf_size)[None, :]           # (n_leaf, 4)
-    valid = jnp.arange(leaf_size)[None, :] < counts[:, None]
+    slot = starts[:, None] + jnp.arange(LEAF_WIDTH)[None, :]       # (n_leaf, 8)
+    valid = jnp.arange(LEAF_WIDTH)[None, :] < counts[:, None]
     slot = jnp.clip(slot, 0, bvh8.n_prims - 1)
-    prim = bvh8.prim_order[slot]                                       # original ids
+    prim = bvh8.prim_order[slot]                                   # original ids
+    # empty slots: zero v0/e1/e2 -> det == 0 -> can never hit
     v0 = jnp.where(valid[..., None], tri_v0[prim], 0.0)
     e1 = jnp.where(valid[..., None], tri_v1[prim] - tri_v0[prim], 0.0)
     e2 = jnp.where(valid[..., None], tri_v2[prim] - tri_v0[prim], 0.0)
-    pmask = jnp.where(valid, geom_mask_per_prim[prim].astype(jnp.int32), 0)
 
-    leaf = jnp.zeros((max(n_leaf, 1), LEAF_ROWS), jnp.float32)
-    leaf = leaf.at[:, 0].set(_f32_bits(counts))
-    leaf = leaf.at[:, 1:1 + leaf_size].set(
-        _f32_bits(jnp.where(valid, prim, 0)))
-    leaf = leaf.at[:, 8:12].set(v0[..., 0])
-    leaf = leaf.at[:, 12:16].set(v0[..., 1])
-    leaf = leaf.at[:, 16:20].set(v0[..., 2])
-    leaf = leaf.at[:, 20:24].set(e1[..., 0])
-    leaf = leaf.at[:, 24:28].set(e1[..., 1])
-    leaf = leaf.at[:, 28:32].set(e1[..., 2])
-    leaf = leaf.at[:, 32:36].set(e2[..., 0])
-    leaf = leaf.at[:, 36:40].set(e2[..., 1])
-    leaf = leaf.at[:, 40:44].set(e2[..., 2])
-    leaf = leaf.at[:, 44:48].set(_f32_bits(pmask))
+    leaf = jnp.zeros((max(n_leaf, 1), leaf_rows), jnp.float32)
+    leaf = leaf.at[:, 0:8].set(v0[..., 0])
+    leaf = leaf.at[:, 8:16].set(v0[..., 1])
+    leaf = leaf.at[:, 16:24].set(v0[..., 2])
+    leaf = leaf.at[:, 24:32].set(e1[..., 0])
+    leaf = leaf.at[:, 32:40].set(e1[..., 1])
+    leaf = leaf.at[:, 40:48].set(e1[..., 2])
+    leaf = leaf.at[:, 48:56].set(e2[..., 0])
+    leaf = leaf.at[:, 56:64].set(e2[..., 1])
+    leaf = leaf.at[:, 64:72].set(e2[..., 2])
+    if has_mask:
+        pmask = jnp.where(valid, geom_mask_per_prim[prim].astype(jnp.int32), 0)
+        leaf = leaf.at[:, 72:80].set(_f32_bits(pmask))
 
-    leaf_recs = jnp.zeros((GL * LANE, LEAF_ROWS), jnp.float32)
+    leaf_recs = jnp.zeros((GL * LANE, leaf_rows), jnp.float32)
     leaf_recs = leaf_recs.at[:max(n_leaf, 1)].set(leaf)
-    leaf_table = leaf_recs.reshape(GL, LANE, LEAF_ROWS).transpose(0, 2, 1)
+    leaf_table = leaf_recs.reshape(GL, LANE, leaf_rows).transpose(0, 2, 1)
 
-    return PackedScene(node_table=node_table, leaf_table=leaf_table)
+    # --- slot -> original prim id map (padded slots/records -> -1) ---
+    pid = jnp.where(valid, prim.astype(jnp.int32), -1)             # (n_leaf, 8)
+    pid_map = jnp.full((GL * LANE, LEAF_WIDTH), -1, jnp.int32)
+    if n_leaf:
+        pid_map = pid_map.at[:n_leaf].set(pid)
+    pid_map = pid_map.reshape(GL * LANE * LEAF_WIDTH)
+
+    return PackedScene(node_table=node_table, leaf_table=leaf_table,
+                       pid_map=pid_map, has_mask=has_mask)

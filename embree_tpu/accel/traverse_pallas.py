@@ -2,37 +2,41 @@
 
 The TPU replacement for the reference's per-ray stack machine
 (kernels/bvh/bvh_intersector1.cpp:31: TravRay precompute -> stack loop ->
-N-wide slab test -> distance-sorted descent -> Möller leaf test). Design:
+N-wide slab test -> distance-sorted descent -> Möller leaf test).
 
-- U=8 ray groups x 128 rays per grid program, one ray per VPU LANE. Per-child
-  and per-triangle math runs on (8,128)/(4,128) sublane blocks at full VPU
-  width (the packed record layout in pack.py is arranged exactly for this).
-- The traversal step is a SERIAL dependency chain (fetch -> slab -> sort ->
-  stack -> advance) of VMEM gathers whose latency cannot be hidden within one
-  chain: measured 2.2us/step for a single 128-ray group even though the
-  summed throughput cost of the pieces is <0.2us. Running U=8 independent
-  groups per program gives the VLIW scheduler 8 overlapping chains, hiding
-  the latency (the TPU analog of GPU persistent-threads occupancy).
-- Per-group state lives as ROWS of (8,128) VMEM scratch tiles (row u = group
-  u), so one tile load serves all groups; the lax.while_loop carries only
-  scalars (Mosaic cannot yield sub-tile, i1, or layout-mismatched carries).
-- Node/leaf fetch: one record per ray per step via tpu.dynamic_gather along
-  lanes. A single fetch loop serves ALL groups one DISTINCT table tile per
-  iteration (min over outstanding tiles) — with morton-sorted coherent blocks
-  the union of tiles across the 8 adjacent groups stays small.
-- Ordered descent via a 6-stage bitonic sort of the 8 (distance,childref)
-  pairs along the sublane axis (the (8,128) analog of bvh_traverser1.h:58
-  sorting networks). Distance keys are bitcast-to-int with the low 3 bits
-  replaced by the child slot, so keys are distinct and ties break cleanly.
-- Per-lane short stacks in VMEM scratch (STACK_ROWS,128) per group. Pushes
-  rotate the sorted far-to-near suffix into stack alignment with ONE sublane
-  gather and write with masked per-block selects; pops gather the top entry
-  per 8-row block from the PRE-push stack image (lanes that push never pop in
-  the same step), so push and pop run in parallel off one set of loads.
-  Everything is branchless: no pl.when / jnp.any scalar synchronization in
-  the step body.
-- Lockstep is per-1024-ray program, not global: programs retire
-  independently, bounding the long-tail cost of incoherent rays.
+v7 design — TILE-PARALLEL: all U ray groups are processed by single wide
+vector ops instead of a per-group Python-unrolled body. Earlier versions
+unrolled 16 copies of the step body over (8,128) tiles; measured primitive
+costs (perf/micro_ops.py) showed a (U*8,128) elementwise op costs ~6.6
+cycles — i.e. the VPU eats all U groups in one issue slot sequence — while
+the unrolled body paid per-group slicing, broadcasting, and register-spill
+overhead ~3x that. Everything below therefore lives in (ROWS=U*8, 128)
+arrays, where row = 8*u + c: group u, child/triangle slot c.
+
+Key layout/compute devices:
+- Per-block (8-row) shuffles, reductions, broadcasts and barrel rotates are
+  built from pltpu.roll with STATIC shifts + masked selects ("butterfly"
+  form), because Mosaic supports neither 3D dynamic gathers nor sub-register
+  strided slices efficiently. All 8-element bitonic sort stages (the
+  bvh_traverser1.h:58 sorting-network analog), hit-count reductions, stack
+  rotations and pops compile to a handful of full-width register ops.
+- State (cur, sp, t_far, best, active) is carried BLOCK-BROADCAST: every row
+  of a group's 8-row block holds the same value. All update math keeps this
+  invariant (butterfly results are naturally block-broadcast), so no per-step
+  expand/extract between (U,128) and (U,8,128) shapes is ever needed.
+- Records are fetched into per-field (ROWS,128) scratch buffers — one
+  gatherable 8-row chunk per field — so the compute phase reads whole
+  register blocks (zero repacking). Node = 4 chunks, leaf = 9 (+1 with
+  geometry masks; mask-free scenes skip the chunk — static specialization,
+  the RTCFeatureFlags analog).
+- Fetch: per step, each group dynamic-slices ITS OWN next outstanding table
+  tile (row-min over lane tile ids) and lane-gathers its records; a short
+  while loop serves stragglers in other tiles. Leaf identity is implicit
+  (8*record+slot, remapped to prim ids post-kernel via pid_map).
+- Leaves hold 8 triangles (LEAF_WIDTH == node width) so the Möller test
+  rides the exact same (ROWS,128) register layout as the node slab test.
+- Lockstep is per-(U*128)-ray program: programs retire independently,
+  bounding the long-tail cost of incoherent rays.
 """
 from __future__ import annotations
 
@@ -45,11 +49,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pack import INVALID_REC, PackedScene
+from .pack import INVALID_REC, LEAF_WIDTH, PackedScene
 
 LANE = 128
 UGRP = 16                # independent 128-ray groups interleaved per program
-STACK_ROWS = 64          # max pushed refs per ray ((W-1)*depth bound analog)
+ROWS = UGRP * 8
+STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
 MAX_STEPS = 200_000      # runaway guard
 
 # Per-program step counts of the last traverse_packed call (observability —
@@ -64,150 +69,196 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
 def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             mask_ref,
             out_t_ref, out_prim_ref, out_steps_ref,
             stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
-            nrec_ref, lrec_ref, need_ref,
-            *, GN, GL, occlusion):
-    INF = jnp.float32(np.inf)
-    # ray components as (8,128) tiles: row u = group u
-    ox, oy, oz = org_ref[0, 0], org_ref[0, 1], org_ref[0, 2]   # (8,128)
-    dx, dy, dz = dir_ref[0, 0], dir_ref[0, 1], dir_ref[0, 2]
-    tnear = tnear_ref[0]      # (8,128): row u = group u
-    tfar0 = tfar_ref[0]
-    rmask = mask_ref[0]
+            need_ref, ray_ref, nbuf_ref, lbuf_ref,
+            *, GN, GL, occlusion, has_mask):
+    LCH = 10 if has_mask else 9      # leaf chunks
+    INF_BITS = jnp.int32(0x7F800000)
 
-    eps = jnp.float32(1e-18)
-
-    def rcp_safe(x):
-        return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
-
-    rdx, rdy, rdz = rcp_safe(dx), rcp_safe(dy), rcp_safe(dz)
-
-    row4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
+    rowall = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
+    rowc = rowall & 7                # child/tri slot within the 8-row block
+    zeroR = rowall * 0
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-    zero8 = row8 * 0  # non-replicated 0
-    zeroU = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
+    zero8 = row8 * 0
 
     def b8(row):   # (1,128) -> (8,128)
         return jnp.broadcast_to(row, (8, LANE))
 
-    def b4(row):
-        return jnp.broadcast_to(row, (4, LANE))
+    # ---- one-time per program: expand ray components to block-broadcast ----
+    def expand(x):   # (U,128) -> (ROWS,128) with row 8u+c = x[u]
+        return jnp.broadcast_to(
+            x.reshape(UGRP, 1, LANE), (UGRP, 8, LANE)).reshape(ROWS, LANE)
 
-    def fetch(tab_ref, out_ref, rows, Gp, need_ref, rec_id_all, need_all):
-        """Gather one rows-row record per lane per group from one pool. One
-        fetch loop serves all groups, one DISTINCT table tile per iteration
-        (trip count = number of distinct tiles needed by the union of the
-        groups; zero iterations when no lane is in this pool this step).
+    eps = jnp.float32(1e-18)
 
-        Gathers are issued in (8,128) chunks: Mosaic's lane-gather is ~1.6ns
-        for an 8-row operand but falls off a 125x cliff above 32 rows
-        (measured, perf/micro_ops.py). One scalar reduction per iteration:
-        the loop carries the next tile id (min over remaining); Gp means
-        done. Returns (need_all, trip_count)."""
+    def rcp_safe(x):
+        return 1.0 / jnp.where(jnp.abs(x) < eps,
+                               jnp.where(x >= 0, eps, -eps), x)
+
+    dx0 = expand(dir_ref[0, 0])
+    dy0 = expand(dir_ref[0, 1])
+    dz0 = expand(dir_ref[0, 2])
+    tnear8 = expand(tnear_ref[0])
+    tfar8 = expand(tfar_ref[0])
+    ray_ref[0] = expand(org_ref[0, 0])
+    ray_ref[1] = expand(org_ref[0, 1])
+    ray_ref[2] = expand(org_ref[0, 2])
+    ray_ref[3], ray_ref[4], ray_ref[5] = dx0, dy0, dz0
+    ray_ref[6] = rcp_safe(dx0)
+    ray_ref[7] = rcp_safe(dy0)
+    ray_ref[8] = rcp_safe(dz0)
+    ray_ref[9] = tnear8
+    if has_mask:
+        ray_ref[10] = _f32(expand(mask_ref[0]))
+
+    def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8):
+        """Gather one record per lane per group from one pool into per-field
+        chunk buffers buf_ref[k] (each (ROWS,128), 8-row block u = group u's
+        record field). Each trip, every group dynamic-slices ITS OWN next
+        outstanding tile (per-block row-min over lane tile ids) and
+        lane-gathers from it; the while loop serves stragglers in other
+        tiles (~1-3 trips with coherence-sorted rays). Branchless: groups
+        with nothing left re-gather a clamped tile with an all-false select
+        (a pl.when gate measured 1.75x slower)."""
         # clamp: corrupt refs must not become out-of-bounds tile reads (the
         # GarbageGeometryTest analog — a bad BVH may misreport, never fault)
-        grp = jnp.clip(rec_id_all // LANE, 0, Gp - 1)  # (U,128) row u = group
-        lane = rec_id_all % LANE
-        need_ref[:] = jnp.where(need_all, 1, 0) + zeroU
+        grp = jnp.clip(rec8 // LANE, 0, Gp - 1)
+        lane = rec8 % LANE
+        need_ref[:] = jnp.where(need8, 1, 0) + zeroR
 
         def body(state):
-            g, trips = state
-            need = need_ref[:] > 0                 # (U,128)
-            tile = tab_ref[g]                      # (rows,128)
-            sel = need & (grp == g)
+            _, trips = state
+            need = need_ref[:] > 0
+            gcur = jnp.min(jnp.where(need, grp, jnp.int32(Gp)),
+                           axis=1, keepdims=True)              # (ROWS,1)
+            gsafe = jnp.minimum(gcur, Gp - 1)
+            sel = need & (grp == jnp.broadcast_to(gcur, (ROWS, LANE)))
             for u in range(UGRP):
-                li = jnp.broadcast_to(lane[u:u + 1], (8, LANE))
-                selu = jnp.broadcast_to(sel[u:u + 1], (8, LANE))
-                for r in range(0, rows, 8):
-                    got = jnp.take_along_axis(tile[r:r + 8], li, axis=1)
-                    out_ref[u, r:r + 8] = jnp.where(selu, got,
-                                                    out_ref[u, r:r + 8])
+                tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
+                li = lane[8 * u:8 * u + 8]
+                selu = sel[8 * u:8 * u + 8]
+                for k in range(chunks):
+                    got = jnp.take_along_axis(tile[8 * k:8 * k + 8], li,
+                                              axis=1)
+                    buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                        selu, got, buf_ref[k, 8 * u:8 * u + 8])
             left = need & ~sel
-            need_ref[:] = jnp.where(left, 1, 0) + zeroU * 0
+            need_ref[:] = jnp.where(left, 1, 0) + zeroR * 0
             return jnp.min(jnp.where(left, grp, jnp.int32(Gp))), trips + 1
 
-        g0 = jnp.min(jnp.where(need_ref[:] > 0, grp, jnp.int32(Gp)))
+        g0 = jnp.min(jnp.where(need8, grp, jnp.int32(Gp)))
         _, trips = jax.lax.while_loop(
             lambda s: s[0] < Gp, body, (g0, jnp.int32(0)))
-        return need_all, trips
+        return need8, trips
 
     def body(state):
         it, _, ntrips, ltrips = state
-        active_all = act_ref[:] > 0                # (8,128) row u = group u
-        cur_all = cur_ref[:]
-        sp_all = sp_ref[:]
-        tf_all = tf_ref[:]
-        best_all = best_ref[:]
+        act8 = act_ref[:] > 0
+        cur8 = cur_ref[:]
+        sp8 = sp_ref[:]
+        tf8 = tf_ref[:]
+        best8 = best_ref[:]
+        ox, oy, oz = ray_ref[0], ray_ref[1], ray_ref[2]
+        dx, dy, dz = ray_ref[3], ray_ref[4], ray_ref[5]
+        rdx, rdy, rdz = ray_ref[6], ray_ref[7], ray_ref[8]
+        tnear8 = ray_ref[9]
 
-        at_node_all = active_all & (cur_all >= 0)
-        at_leaf_all = active_all & (cur_all < 0)
-        # stack blocks live in [0, bmax): bound by the deepest stack across
+        at_node8 = act8 & (cur8 >= 0)
+        at_leaf8 = act8 & (cur8 < 0)
+        # stack blocks live in [0, bsup): bound by the deepest stack across
         # all groups (+7 for this step's pushes). ONE scalar reduction per
         # step; typical depth <= 16 so the loop visits 2-3 of the 8 blocks.
-        bmax = jnp.minimum(jnp.max(sp_all) + 14, STACK_ROWS) // 8 + 1
-        is_node_all, nt = fetch(ntab_ref, nrec_ref, 32, GN, need_ref,
-                                jnp.where(at_node_all, cur_all, 0),
-                                at_node_all)
-        is_leaf_all, lt = fetch(ltab_ref, lrec_ref, 48, GL, need_ref,
-                                jnp.where(at_leaf_all, -cur_all - 1, 0),
-                                at_leaf_all)
-        stall_all = active_all & ~(is_node_all | is_leaf_all)
+        bsup = jnp.minimum(jnp.max(sp8) + 14, 8 * STACK_BLOCKS) // 8 + 1
+        node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
+                             jnp.where(at_node8, cur8, 0), at_node8)
+        leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
+                             jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8)
+        stall8 = act8 & ~(node_ok8 | leaf_ok8)
 
-        new_cur, new_sp_rows, new_tf, new_best, new_act = [], [], [], [], []
+        # ======== tile-parallel elementwise phases: ALL groups at once =====
+        # ---------------- internal: 8-wide slab test ----------------
+        crefs = nbuf_ref[0]                                # (ROWS,128)
+
+        def bnd(d):
+            bits = nbuf_ref[1 + d]
+            lo = _f32(bits << 16)
+            hi = _f32(bits & ~jnp.int32(0xFFFF))
+            return lo, hi
+
+        (lox, hix), (loy, hiy), (loz, hiz) = (bnd(d) for d in range(3))
+        tx0 = (lox - ox) * rdx
+        tx1 = (hix - ox) * rdx
+        ty0 = (loy - oy) * rdy
+        ty1 = (hiy - oy) * rdy
+        tz0 = (loz - oz) * rdz
+        tz1 = (hiz - oz) * rdz
+        tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.maximum(jnp.minimum(tz0, tz1), tnear8))
+        tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.minimum(jnp.maximum(tz0, tz1), tf8))
+        hit = (tent <= tex) & (crefs != INVALID_REC) & node_ok8
+
+        # sort keys: distance bits (>=0 so monotonic as int) with the low 3
+        # bits replaced by the child slot -> distinct keys, clean tie-breaks;
+        # misses sort to the end as +inf
+        kd = _i32(jnp.maximum(tent, 0.0))
+        keyR = jnp.where(hit, (kd & ~jnp.int32(7)) | rowc, INF_BITS | rowc)
+        hR = jnp.sum(hit.reshape(UGRP, 8, LANE).astype(jnp.int32), axis=1)
+
+        # ---------------- leaf: 8 Möller tests ----------------
+        v0x, v0y, v0z = lbuf_ref[0], lbuf_ref[1], lbuf_ref[2]
+        e1x, e1y, e1z = lbuf_ref[3], lbuf_ref[4], lbuf_ref[5]
+        e2x, e2y, e2z = lbuf_ref[6], lbuf_ref[7], lbuf_ref[8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+        kvalid = (leaf_ok8
+                  & (jnp.abs(det) > 1e-24)
+                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt >= tnear8) & (tt <= tf8))
+        if has_mask:
+            kvalid = kvalid & ((_i32(lbuf_ref[9]) & _i32(ray_ref[10])) != 0)
+        tb = _i32(jnp.maximum(tt, 0.0))                  # monotonic bits
+        # per-group best-slot key: t bits with slot in the low 3 bits
+        lkeyR = jnp.where(kvalid, (tb & ~jnp.int32(7)) | rowc,
+                          INF_BITS | rowc)
+        lminR = jnp.min(lkeyR.reshape(UGRP, 8, LANE), axis=1)   # (U,128)
+
+        # ======== per-group phases: sort, stack, advance (8,128 shuffles) ==
         for u in range(UGRP):
-            active = active_all[u:u + 1]           # (1,128) bool
-            cur = cur_all[u:u + 1]
-            sp = b8(sp_all[u:u + 1])               # (8,128) for stack math
-            t_far = tf_all[u:u + 1]
-            best = best_all[u:u + 1]
-            is_leaf = is_leaf_all[u:u + 1]
-            is_node = is_node_all[u:u + 1]
+            sl = slice(8 * u, 8 * u + 8)
+            is_node = node_ok8[8 * u:8 * u + 1]        # (1,128) bool
+            is_leaf = leaf_ok8[8 * u:8 * u + 1]
+            cur = cur8[8 * u:8 * u + 1]
+            sp = sp8[8 * u:8 * u + 1]
+            t_far = tf8[8 * u:8 * u + 1]
+            best = best8[8 * u:8 * u + 1]
+            h = hR[u:u + 1]
 
-            nrec = nrec_ref[u]                     # (32,128) int32
-            lrec = lrec_ref[u]                     # (48,128) float32
-            oxu, oyu, ozu = ox[u:u + 1], oy[u:u + 1], oz[u:u + 1]
-            dxu, dyu, dzu = dx[u:u + 1], dy[u:u + 1], dz[u:u + 1]
-            rdxu, rdyu, rdzu = rdx[u:u + 1], rdy[u:u + 1], rdz[u:u + 1]
-            tnearu = tnear[u:u + 1]
-            rmasku = rmask[u:u + 1]
-
-            # ---------------- internal: 8-wide slab test ----------------
-            crefs = nrec[0:8]                      # (8,128) child refs
-            # decode packed lo|hi bf16 rows (row == child slot, no gather):
-            # lo = bits<<16, hi = bits & 0xFFFF0000
-
-            def bnd(d):
-                bits = nrec[8 + 8 * d:16 + 8 * d]
-                lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
-                hi = jax.lax.bitcast_convert_type(
-                    bits & ~jnp.int32(0xFFFF), jnp.float32)
-                return lo, hi
-
-            (lox, hix), (loy, hiy), (loz, hiz) = (bnd(d) for d in range(3))
-            tx0 = (lox - b8(oxu)) * b8(rdxu)
-            tx1 = (hix - b8(oxu)) * b8(rdxu)
-            ty0 = (loy - b8(oyu)) * b8(rdyu)
-            ty1 = (hiy - b8(oyu)) * b8(rdyu)
-            tz0 = (loz - b8(ozu)) * b8(rdzu)
-            tz1 = (hiz - b8(ozu)) * b8(rdzu)
-            tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.maximum(jnp.minimum(tz0, tz1), b8(tnearu)))
-            tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.minimum(jnp.maximum(tz0, tz1), b8(t_far)))
-            hit = (tent <= tex) & (crefs != INVALID_REC) & b8(is_node)
-
-            # sort keys: distance bits (>=0 so monotonic as int) with the low
-            # 3 bits replaced by the child slot -> distinct keys, clean
-            # tie-breaks; misses sort to the end as +inf
-            kd = _i32(jnp.maximum(tent, 0.0))
-            key = jnp.where(hit, (kd & ~jnp.int32(7)) | row8,
-                            jnp.int32(0x7F800000) | row8)
-            ref = crefs
+            # ordered descent: 6-stage bitonic over the 8 (key,ref) rows
+            key = keyR[sl]
+            ref = crefs[sl]
             for k, j in _SORT_STAGES:
                 perm8 = row8 ^ j
                 keepmin = ((row8 & k) == 0) == ((row8 & j) == 0)
@@ -218,125 +269,92 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 swap = (key_p < key) == keepmin
                 key = jnp.where(swap, key_p, key)
                 ref = jnp.where(swap, ref_p, ref)
-
-            h = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)  # (1,128)
-            h8 = b8(h)
             next_ref = ref[0:1]
+            h8u = b8(h)
+            sp8u = b8(sp)
 
             # -------- stack: read blocks once; pop from the pre-push image
             # (pushing lanes never pop in the same step), merge pushes in --
-            npush = jnp.where(b8(is_node), jnp.maximum(h8 - 1, 0), 0)
-            items = jnp.take_along_axis(ref, jnp.clip(h8 - 1 - row8, 0, 7),
+            npush = jnp.where(b8(is_node), jnp.maximum(h8u - 1, 0), 0)
+            items = jnp.take_along_axis(ref, jnp.clip(h8u - 1 - row8, 0, 7),
                                         axis=0)
-            aligned = jnp.take_along_axis(items, (row8 - sp) & 7, axis=0)
-            new_sp = sp + npush
+            aligned = jnp.take_along_axis(items, (row8 - sp8u) & 7, axis=0)
+            new_sp = sp8u + npush
             top = new_sp - 1
 
-            def stack_blk(b, popped):
+            def stack_blk(b, popped, u=u, top=top, sp8u=sp8u, npush=npush,
+                          aligned=aligned):
                 blk = stack_ref[u, pl.ds(8 * b, 8)]
                 localp = top - 8 * b
                 selb = (localp >= 0) & (localp < 8)
                 got = jnp.take_along_axis(blk, jnp.clip(localp, 0, 7), axis=0)
                 popped = jnp.where(selb, got, popped)
-                local = row8 + (8 * b) - sp
+                local = row8 + (8 * b) - sp8u
                 inr = (local >= 0) & (local < npush)
                 stack_ref[u, pl.ds(8 * b, 8)] = jnp.where(inr, aligned, blk)
                 return popped
 
-            popped = jax.lax.fori_loop(0, bmax, stack_blk, zero8)
+            popped = jax.lax.fori_loop(0, bsup, stack_blk, zero8)
 
-            # ---------------- leaf: 4 Möller tests ----------------
-            cnt = _i32(lrec[0:1])                  # (1,128)
-            pids = _i32(lrec[1:5])                 # (4,128)
-            v0x, v0y, v0z = lrec[8:12], lrec[12:16], lrec[16:20]
-            e1x, e1y, e1z = lrec[20:24], lrec[24:28], lrec[28:32]
-            e2x, e2y, e2z = lrec[32:36], lrec[36:40], lrec[40:44]
-            pmask = _i32(lrec[44:48])
-
-            bdx, bdy, bdz = b4(dxu), b4(dyu), b4(dzu)
-            pvx = bdy * e2z - bdz * e2y
-            pvy = bdz * e2x - bdx * e2z
-            pvz = bdx * e2y - bdy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
-            tvx = b4(oxu) - v0x
-            tvy = b4(oyu) - v0y
-            tvz = b4(ozu) - v0z
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (bdx * qvx + bdy * qvy + bdz * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-
-            kvalid = ((row4 < b4(cnt)) & b4(is_leaf)
-                      & (jnp.abs(det) > 1e-24)
-                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt >= b4(tnearu)) & (tt <= b4(t_far))
-                      & ((pmask & b4(rmasku)) != 0))
-            tl = jnp.where(kvalid, tt, INF)
-            tmin = jnp.min(tl, axis=0, keepdims=True)      # (1,128)
-            found = is_leaf & (tmin < t_far)
-            eqmin = kvalid & (tl == b4(tmin))
-            m0 = eqmin[0:1]
-            m1 = eqmin[1:2] & ~m0
-            m2 = eqmin[2:3] & ~(m0 | m1)
-            m3 = eqmin[3:4] & ~(m0 | m1 | m2)
-            pid_sel = (jnp.where(m0, pids[0:1], 0)
-                       + jnp.where(m1, pids[1:2], 0)
-                       + jnp.where(m2, pids[2:3], 0)
-                       + jnp.where(m3, pids[3:4], 0))
-
-            t_far = jnp.where(found, tmin, t_far)
-            best = jnp.where(found, pid_sel, best)
+            # -------- leaf result: winning slot + exact t recovery --------
+            lmin = lminR[u:u + 1]                       # (1,128) key bits
+            found = is_leaf & (lmin < INF_BITS)
+            slot = lmin & 7
+            # exact t: re-gather the full-precision bits at the winning slot
+            texact = jnp.take_along_axis(tb[sl], b8(slot), axis=0)[0:1]
+            t_new = _f32(texact)
+            found = found & (t_new < t_far)
+            t_far = jnp.where(found, t_new, t_far)
+            best = jnp.where(found, (-cur - 1) * 8 + slot, best)
 
             # ---------------- advance (stalled lanes keep their state) ----
-            has_next = is_node & (h[0:1] > 0)
+            has_next = is_node & (h > 0)
             need_pop = (is_node | is_leaf) & ~has_next
             sp_row = new_sp[0:1]
             do_pop = need_pop & (sp_row > 0)
             cur = jnp.where(has_next, next_ref,
                             jnp.where(do_pop, popped[0:1], cur))
             sp_row = jnp.where(do_pop, sp_row - 1, sp_row)
-            active = has_next | do_pop | stall_all[u:u + 1]
+            active = has_next | do_pop | stall8[8 * u:8 * u + 1]
             if occlusion:
                 active = active & (best < 0)
 
-            new_cur.append(cur)
-            new_sp_rows.append(sp_row)
-            new_tf.append(t_far)
-            new_best.append(best)
-            new_act.append(jnp.where(active, 1, 0).astype(jnp.int32))
+            # state writes: block-broadcast 8-row registers (aligned)
+            cur_ref[sl] = b8(cur)
+            sp_ref[sl] = b8(sp_row)
+            tf_ref[sl] = b8(t_far)
+            best_ref[sl] = b8(best)
+            act_ref[sl] = b8(jnp.where(active, 1, 0))
 
-        cur_ref[:] = jnp.concatenate(new_cur, axis=0)
-        sp_ref[:] = jnp.concatenate(new_sp_rows, axis=0)
-        tf_ref[:] = jnp.concatenate(new_tf, axis=0)
-        best_ref[:] = jnp.concatenate(new_best, axis=0)
-        act = jnp.concatenate(new_act, axis=0)
-        act_ref[:] = act
-        n_active = jnp.sum(act)
+        n_active = jnp.sum(act_ref[:])
         return it + 1, n_active, ntrips + nt, ltrips + lt
 
     def cond(state):
         return (state[1] > 0) & (state[0] < MAX_STEPS)
 
-    # init state refs (zeroU keeps layouts non-replicated for Mosaic)
-    act_ref[:] = zeroU + jnp.where(tnear <= tfar0, 1, 0).astype(jnp.int32)
-    cur_ref[:] = zeroU
-    sp_ref[:] = zeroU
-    tf_ref[:] = zeroU.astype(jnp.float32) + tfar0
-    best_ref[:] = zeroU - 1
-    stack_ref[:] = jnp.zeros((UGRP, STACK_ROWS, LANE), jnp.int32)
-    nrec_ref[:] = jnp.zeros((UGRP, 32, LANE), jnp.int32)
-    lrec_ref[:] = jnp.zeros((UGRP, 48, LANE), jnp.float32)
+    live0 = tnear8 <= tfar8
+    if not has_mask:
+        # all geometry masks are default (-1): (pmask & rmask) != 0 reduces
+        # to rmask != 0, folded into ray activation instead of a leaf chunk
+        live0 = live0 & (expand(mask_ref[0]) != 0)
+    act_ref[:] = zeroR + jnp.where(live0, 1, 0)
+    cur_ref[:] = zeroR
+    sp_ref[:] = zeroR
+    tf_ref[:] = zeroR.astype(jnp.float32) + tfar8
+    best_ref[:] = zeroR - 1
+    stack_ref[:] = jnp.zeros((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32)
+    nbuf_ref[:] = jnp.zeros((4, ROWS, LANE), jnp.int32)
+    lbuf_ref[:] = jnp.zeros((LCH, ROWS, LANE), jnp.float32)
 
     it_final, _, ntrips, ltrips = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
 
-    out_t_ref[0] = tf_ref[:]
-    out_prim_ref[0] = best_ref[:]
+    # extract block-broadcast state rows c=0 back to (U,128)
+    out_t_ref[0] = tf_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
+    out_prim_ref[0] = best_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
     # row 0: step count; row 1: node fetch-loop trips; row 2: leaf trips
-    out_steps_ref[0] = zeroU + it_final
+    zu = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
+    out_steps_ref[0] = zu + it_final
     out_steps_ref[0, 1:2] = jnp.broadcast_to(ntrips, (1, LANE))
     out_steps_ref[0, 2:3] = jnp.broadcast_to(ltrips, (1, LANE))
 
@@ -361,7 +379,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                     sort_rays: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace R rays against a packed scene. Returns (t, best_prim) with
-    best_prim = -1 for miss. Inputs are flat (R, 3)/(R,) arrays.
+    best_prim = original prim id, -1 for miss. Inputs are flat (R,3)/(R,).
 
     sort_rays: reorder rays by a coherence key so each program touches few
     table tiles (fetch gating); results are returned in original order.
@@ -389,7 +407,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
 
     org = org.astype(jnp.float32)
     dir = dir.astype(jnp.float32)
-    # (B, 3, UGRP, LANE): component-major keeps each (8,128) tile one DMA row
+    # (B, 3, UGRP, LANE): component-major keeps each (U,128) tile one DMA row
     orgp = jnp.stack([prep(org[:, 0], 0), prep(org[:, 1], 0),
                       prep(org[:, 2], 0)], axis=1)
     dirp = jnp.stack([prep(dir[:, 0], 1), prep(dir[:, 1], 1),
@@ -400,7 +418,10 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
 
     GN = packed.n_node_tiles
     GL = packed.n_leaf_tiles
-    kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion)
+    has_mask = packed.has_mask
+    LCH = 10 if has_mask else 9
+    kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
+                               has_mask=has_mask)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -414,7 +435,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
             # VMEM across grid steps instead of re-DMAing them per ray block
             pl.BlockSpec((GN, 32, LANE), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GL, 48, LANE), lambda b: (0, 0, 0),
+            pl.BlockSpec((GL, ltab_rows(has_mask), LANE), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
         ],
@@ -425,23 +446,31 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((UGRP, STACK_ROWS, LANE), jnp.int32),   # stacks
-            pltpu.VMEM((UGRP, LANE), jnp.int32),         # cur   (row=group)
-            pltpu.VMEM((UGRP, LANE), jnp.int32),         # sp
-            pltpu.VMEM((UGRP, LANE), jnp.float32),       # t_far
-            pltpu.VMEM((UGRP, LANE), jnp.int32),         # best
-            pltpu.VMEM((UGRP, LANE), jnp.int32),         # active
-            pltpu.VMEM((UGRP, 32, LANE), jnp.int32),     # fetched node recs
-            pltpu.VMEM((UGRP, 48, LANE), jnp.float32),   # fetched leaf recs
-            pltpu.VMEM((UGRP, LANE), jnp.int32),         # fetch outstanding
+            pltpu.VMEM((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32),  # stacks
+            pltpu.VMEM((ROWS, LANE), jnp.int32),        # cur
+            pltpu.VMEM((ROWS, LANE), jnp.int32),        # sp
+            pltpu.VMEM((ROWS, LANE), jnp.float32),      # t_far
+            pltpu.VMEM((ROWS, LANE), jnp.int32),        # best
+            pltpu.VMEM((ROWS, LANE), jnp.int32),        # active
+            pltpu.VMEM((ROWS, LANE), jnp.int32),        # fetch outstanding
+            pltpu.VMEM((11, ROWS, LANE), jnp.float32),  # expanded ray const
+            pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
+            pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
         ],
         interpret=interpret,
     )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp)
 
     LAST_STEPS[0] = steps_out
     t_flat = t_out.reshape(B * PROG)[:R]
-    prim_flat = prim_out.reshape(B * PROG)[:R]
+    enc_flat = prim_out.reshape(B * PROG)[:R]
+    # implicit leaf slot -> original prim id
+    prim_flat = jnp.where(enc_flat >= 0,
+                          packed.pid_map[jnp.clip(enc_flat, 0, None)], -1)
     if ridx is not None:
         _, t_flat, prim_flat = jax.lax.sort(
             (ridx, t_flat, prim_flat), num_keys=1)
     return t_flat, prim_flat
+
+
+def ltab_rows(has_mask: bool) -> int:
+    return 80 if has_mask else 72

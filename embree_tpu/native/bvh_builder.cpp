@@ -23,7 +23,7 @@
 namespace {
 
 constexpr int kInvalid = -0x7FFFFFFF;
-constexpr int kLeafSize = 4;
+constexpr int kLeafSize = 8;
 constexpr int kBins = 16;
 constexpr int kWidth = 8;
 

@@ -52,7 +52,7 @@ from .geometry import (
     TriangleGeometry, UserGeometry, _split_timesteps)
 
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 
 PALLAS_INTERPRET = False  # set True in CPU tests to run the kernel interpreted
 
@@ -535,7 +535,9 @@ class _Merger:
                               jax.device_put(tri["v0"], cpu),
                               jax.device_put(tri["v1"], cpu),
                               jax.device_put(tri["v2"], cpu),
-                              jax.device_put(rows[:, 6].astype(np.uint32), cpu))
+                              jax.device_put(rows[:, 6].astype(np.uint32), cpu),
+                              has_mask=bool(
+                                  np.any(rows[:, 6] != 0xFFFFFFFF)))
 
         cs = CommittedScene(
             bvh=bvh8,

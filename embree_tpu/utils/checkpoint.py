@@ -28,7 +28,9 @@ def save_scene(path: str, scene: CommittedScene):
             "scenes with filter/user callbacks cannot be serialized; "
             "re-commit without callbacks or re-attach them after load")
     meta = dict(kinds_present=list(kinds_present), has_motion=bool(has_motion),
-                n_leaves=len(flat), has_packed=scene.packed is not None)
+                n_leaves=len(flat), has_packed=scene.packed is not None,
+                packed_has_mask=bool(scene.packed.has_mask)
+                if scene.packed is not None else False)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
     # keep treedef structure implicitly: CommittedScene has a fixed layout
 
@@ -38,13 +40,14 @@ def load_scene(path: str) -> CommittedScene:
     meta = json.loads(str(data["__meta__"]))
     flat = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
     # rebuild the children tuple with the same static structure used by flatten
-    ref_treedef = _scene_treedef(meta["has_packed"])
+    ref_treedef = _scene_treedef(meta["has_packed"],
+                                 meta.get("packed_has_mask", False))
     children = jax.tree.unflatten(ref_treedef, flat)
     aux = (tuple(meta["kinds_present"]), bool(meta["has_motion"]), (), ())
     return CommittedScene.tree_unflatten(aux, children)
 
 
-def _scene_treedef(has_packed: bool):
+def _scene_treedef(has_packed: bool, packed_has_mask: bool = False):
     """Treedef of CommittedScene children (BVH is a nested pytree; packed may
     be None — normalized to PackedScene-with-table in save)."""
     import jax.numpy as jnp
@@ -56,7 +59,9 @@ def _scene_treedef(has_packed: bool):
         if f == "bvh":
             dummy_children.append(BVH(z, z, z, z))
         elif f == "packed":
-            dummy_children.append(PackedScene(z, z) if has_packed else None)
+            dummy_children.append(
+                PackedScene(z, z, z, packed_has_mask)
+                if has_packed else None)
         else:
             dummy_children.append(z)
     return jax.tree.structure(tuple(dummy_children))

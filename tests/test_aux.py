@@ -162,7 +162,7 @@ def test_scene_stats():
     assert st["num_prims"] == idx.shape[0]
     assert st["bvh_width"] == 8
     assert st["prims_in_leaves"] == idx.shape[0]
-    assert 1.0 <= st["avg_leaf_size"] <= 4.0
+    assert 1.0 <= st["avg_leaf_size"] <= 8.0
     assert st["sah_cost"] > 0 and st["memory_bytes"] > 0
 
 

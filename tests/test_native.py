@@ -29,7 +29,7 @@ def audit(nl, nu, ch, order, lo, up):
             if ref < 0:
                 packed = -(ref + 1)
                 s0, cn = packed >> 4, packed & 0xF
-                assert 1 <= cn <= 4
+                assert 1 <= cn <= 8
                 covered[s0:s0 + cn] += 1
                 assert (nl[nd, w] <= plo[s0:s0 + cn].min(0) + 1e-4).all()
                 assert (nu[nd, w] >= pup[s0:s0 + cn].max(0) - 1e-4).all()
