@@ -26,18 +26,28 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..core.math import rcp_safe
 from .bvh import BVH, INVALID_NODE
 
 STACK_DEPTH = 64
 
 
-def slab_test(node_lo, node_up, org, rdir, tnear, tfar):
+# robust-mode slab widening factors (node_intersector1.h:106-110: near/far
+# reciprocal directions scaled by 1 -/+ 3 ulp so conservative rounding can
+# never miss a box the exact test would hit)
+ROUND_DOWN = np.float32(1.0 - 3.0 * 1.19209290e-07)
+ROUND_UP = np.float32(1.0 + 3.0 * 1.19209290e-07)
+
+
+def slab_test(node_lo, node_up, org, rdir, tnear, tfar, robust: bool = False):
     """Ray/AABB slab test over a trailing child axis.
 
     Args:
       node_lo, node_up: (..., W, 3)
       org, rdir: (..., 3); tnear, tfar: (...,)
+      robust: widen the slab interval by ±3 ulp (RTC_SCENE_FLAG_ROBUST).
     Returns:
       (hit, t_entry): (..., W) bool / float32.
     """
@@ -45,6 +55,9 @@ def slab_test(node_lo, node_up, org, rdir, tnear, tfar):
     t1 = (node_up - org[..., None, :]) * rdir[..., None, :]
     tmin = jnp.minimum(t0, t1)
     tmax = jnp.maximum(t0, t1)
+    if robust:
+        tmin = tmin * ROUND_DOWN
+        tmax = tmax * ROUND_UP
     t_entry = jnp.maximum(jnp.max(tmin, axis=-1), tnear[..., None])
     t_exit = jnp.minimum(jnp.min(tmax, axis=-1), tfar[..., None])
     return t_entry <= t_exit, t_entry
@@ -54,6 +67,8 @@ class TraversalResult(NamedTuple):
     tfar: jnp.ndarray       # (R,) updated hit distance (inf if miss for closest-hit)
     best_prim: jnp.ndarray  # (R,) int32 global prim index into prim_order target, -1 if miss
     steps: jnp.ndarray      # () int32 — iteration count (observability; cf. stat.h counters)
+    overflow: jnp.ndarray = 0  # () dropped stack pushes (must be 0; the
+    # reference instead sizes stacks from an enforced max depth, bvh.h:71)
 
 
 def _pop(stack, sp, active):
@@ -75,6 +90,7 @@ def traverse(
     tfar: jnp.ndarray,
     occlusion: bool = False,
     max_leaf_size: int = 1,
+    robust: bool = False,
 ) -> TraversalResult:
     """Find closest (or any, if occlusion) primitive hit along each ray.
 
@@ -100,7 +116,7 @@ def traverse(
         return jnp.any(active)
 
     def body(state):
-        active, cur, stack, sp, t_far, best, steps = state
+        active, cur, stack, sp, t_far, best, steps, ovf = state
 
         is_node = active & (cur >= 0)
         is_leaf = active & (cur < 0) & (cur != INVALID_NODE)
@@ -110,7 +126,8 @@ def traverse(
         child = bvh.node_child[node]                      # (R, W)
         c_lo = bvh.node_lower[node]                       # (R, W, 3)
         c_up = bvh.node_upper[node]
-        hit, t_entry = slab_test(c_lo, c_up, org, rdir, tnear, t_far)
+        hit, t_entry = slab_test(c_lo, c_up, org, rdir, tnear, t_far,
+                                 robust=robust)
         hit = hit & (child != INVALID_NODE) & is_node[:, None]
         dist = jnp.where(hit, t_entry, jnp.inf)
 
@@ -122,8 +139,11 @@ def traverse(
 
         # push far children (indices W-1 .. 1) onto the stack
         new_stack, new_sp = stack, sp
+        dropped = jnp.int32(0)
         for k in range(W - 1, 0, -1):
-            do_push = is_node & hit_sorted[:, k] & (new_sp < STACK_DEPTH)
+            want_push = is_node & hit_sorted[:, k]
+            do_push = want_push & (new_sp < STACK_DEPTH)
+            dropped += jnp.sum((want_push & ~do_push).astype(jnp.int32))
             slot = jnp.where(do_push, new_sp, 0)
             val = jnp.where(do_push, child_sorted[:, k], new_stack[ray_idx, slot])
             new_stack = new_stack.at[ray_idx, slot].set(val)
@@ -160,8 +180,11 @@ def traverse(
             # any-hit: a ray with a recorded hit is done
             active = active & (best < 0)
 
-        return active, cur, new_stack, sp, t_far, best, steps + 1
+        return active, cur, new_stack, sp, t_far, best, steps + 1, ovf + dropped
 
-    state = (active0, cur0, stack0, sp0, tfar, best0, jnp.int32(0))
-    _, _, _, _, t_out, best_out, steps = jax.lax.while_loop(cond, body, state)
-    return TraversalResult(tfar=t_out, best_prim=best_out, steps=steps)
+    state = (active0, cur0, stack0, sp0, tfar, best0, jnp.int32(0),
+             jnp.int32(0))
+    (_, _, _, _, t_out, best_out, steps, ovf) = jax.lax.while_loop(
+        cond, body, state)
+    return TraversalResult(tfar=t_out, best_prim=best_out, steps=steps,
+                           overflow=ovf)

@@ -57,6 +57,11 @@ ROWS = UGRP * 8
 STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
 MAX_STEPS = 200_000      # runaway guard
 
+# Residency policy (v5e: 128 MiB VMEM/core). Tables within the budget stay
+# pinned in VMEM; beyond it they live in HBM and stream (see _kernel).
+VMEM_RESIDENT_BUDGET = 80 << 20
+VMEM_HARD_LIMIT = 100 << 20
+
 # Per-program step counts of the last traverse_packed call (observability —
 # the stat.h traversal-counter analog). May hold a traced value under jit.
 LAST_STEPS = [None]
@@ -77,10 +82,40 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             mask_ref,
             out_t_ref, out_prim_ref, out_steps_ref,
             stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
-            need_ref, ray_ref, nbuf_ref, lbuf_ref,
-            *, GN, GL, occlusion, has_mask):
+            need_ref, ray_ref, nbuf_ref, lbuf_ref, *rest,
+            GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
+            robust=False):
     LCH = 10 if has_mask else 9      # leaf chunks
     INF_BITS = jnp.int32(0x7F800000)
+
+    # --- streamed-table refs (HBM-resident tables, breaking the VMEM scene
+    # cap — the device-resident-accel role of the reference's AccelBuffer,
+    # kernels/sycl/rthwif_embree_builder.h:81). Each streamed table gets a
+    # per-group VMEM staging slot + SMEM tag: a 1-way cache whose tags (and
+    # staged tiles) PERSIST across grid programs, so coherence-sorted
+    # neighbouring programs re-use each other's tiles. ---
+    ri = 0
+    nstage_ref = ntag_ref = nsem = None
+    lstage_ref = ltag_ref = lsem = None
+    started_ref = dmacnt_ref = None
+    if stream_nodes:
+        nstage_ref, ntag_ref, nsem = rest[ri:ri + 3]
+        ri += 3
+    if stream_leaves:
+        lstage_ref, ltag_ref, lsem = rest[ri:ri + 3]
+        ri += 3
+    if stream_nodes or stream_leaves:
+        started_ref, dmacnt_ref = rest[ri:ri + 2]
+        dmacnt_ref[0] = 0
+        dmacnt_ref[1] = 0
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init_tags():
+            for u in range(UGRP):
+                if stream_nodes:
+                    ntag_ref[u] = -1
+                if stream_leaves:
+                    ltag_ref[u] = -1
 
     rowall = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
     rowc = rowall & 7                # child/tri slot within the 8-row block
@@ -118,7 +153,8 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     if has_mask:
         ray_ref[10] = _f32(expand(mask_ref[0]))
 
-    def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8):
+    def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8,
+              stage_ref=None, tag_ref=None, sem=None, cnt=None):
         """Gather one record per lane per group from one pool into per-field
         chunk buffers buf_ref[k] (each (ROWS,128), 8-row block u = group u's
         record field). Each trip, every group dynamic-slices ITS OWN next
@@ -126,9 +162,18 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         lane-gathers from it; the while loop serves stragglers in other
         tiles (~1-3 trips with coherence-sorted rays). Branchless: groups
         with nothing left re-gather a clamped tile with an all-false select
-        (a pl.when gate measured 1.75x slower)."""
+        (a pl.when gate measured 1.75x slower).
+
+        Streamed variant (stage_ref is not None): the table lives in HBM.
+        Per trip, every group whose staging tag misses its wanted tile
+        starts an async DMA (HBM tile -> its VMEM staging slot); ALL misses
+        start before any wait so up to UGRP copies are in flight at once,
+        then gathers read the staging slots. Tags/stages persist across
+        grid programs (scratch persistence), so the shared top-of-tree and
+        tiles shared between coherent neighbouring programs hit the cache."""
         # clamp: corrupt refs must not become out-of-bounds tile reads (the
         # GarbageGeometryTest analog — a bad BVH may misreport, never fault)
+        stream = stage_ref is not None
         grp = jnp.clip(rec8 // LANE, 0, Gp - 1)
         lane = rec8 % LANE
         need_ref[:] = jnp.where(need8, 1, 0) + zeroR
@@ -140,8 +185,31 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                            axis=1, keepdims=True)              # (ROWS,1)
             gsafe = jnp.minimum(gcur, Gp - 1)
             sel = need & (grp == jnp.broadcast_to(gcur, (ROWS, LANE)))
+            if stream:
+                # start every missing tile's DMA first (overlap), then wait
+                for u in range(UGRP):
+                    tile = gsafe[8 * u, 0]
+                    miss = (gcur[8 * u, 0] < Gp) & (tag_ref[u] != tile)
+                    started_ref[u] = jnp.where(miss, 1, 0)
+
+                    @pl.when(miss)
+                    def _(u=u, tile=tile):
+                        pltpu.make_async_copy(
+                            tab_ref.at[tile], stage_ref.at[u],
+                            sem.at[u]).start()
+                        tag_ref[u] = tile
+                        dmacnt_ref[cnt] = dmacnt_ref[cnt] + 1
+                for u in range(UGRP):
+                    @pl.when(started_ref[u] == 1)
+                    def _(u=u):
+                        pltpu.make_async_copy(
+                            tab_ref.at[tag_ref[u]], stage_ref.at[u],
+                            sem.at[u]).wait()
             for u in range(UGRP):
-                tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
+                if stream:
+                    tile = stage_ref[u]                # staged (rows,128)
+                else:
+                    tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
                 li = lane[8 * u:8 * u + 8]
                 selu = sel[8 * u:8 * u + 8]
                 for k in range(chunks):
@@ -159,7 +227,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         return need8, trips
 
     def body(state):
-        it, _, ntrips, ltrips = state
+        it, _, ntrips, ltrips, ovf = state
         act8 = act_ref[:] > 0
         cur8 = cur_ref[:]
         sp8 = sp_ref[:]
@@ -177,9 +245,11 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         # step; typical depth <= 16 so the loop visits 2-3 of the 8 blocks.
         bsup = jnp.minimum(jnp.max(sp8) + 14, 8 * STACK_BLOCKS) // 8 + 1
         node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
-                             jnp.where(at_node8, cur8, 0), at_node8)
+                             jnp.where(at_node8, cur8, 0), at_node8,
+                             nstage_ref, ntag_ref, nsem, 0)
         leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
-                             jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8)
+                             jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8,
+                             lstage_ref, ltag_ref, lsem, 1)
         stall8 = act8 & ~(node_ok8 | leaf_ok8)
 
         # ======== tile-parallel elementwise phases: ALL groups at once =====
@@ -199,12 +269,24 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         ty1 = (hiy - oy) * rdy
         tz0 = (loz - oz) * rdz
         tz1 = (hiz - oz) * rdz
-        tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.maximum(jnp.minimum(tz0, tz1), tnear8))
-        tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.minimum(jnp.maximum(tz0, tz1), tf8))
+        if robust:
+            # ±3-ulp widened slabs (node_intersector1.h:106-110 robust mode)
+            rdn = jnp.float32(1.0 - 3.0 * 1.19209290e-07)
+            rup = jnp.float32(1.0 + 3.0 * 1.19209290e-07)
+            tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1) * rdn,
+                                           jnp.minimum(ty0, ty1) * rdn),
+                               jnp.maximum(jnp.minimum(tz0, tz1) * rdn,
+                                           tnear8))
+            tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1) * rup,
+                                          jnp.maximum(ty0, ty1) * rup),
+                              jnp.minimum(jnp.maximum(tz0, tz1) * rup, tf8))
+        else:
+            tent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.maximum(jnp.minimum(tz0, tz1), tnear8))
+            tex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), tf8))
         hit = (tent <= tex) & (crefs != INVALID_REC) & node_ok8
 
         # sort keys: distance bits (>=0 so monotonic as int) with the low 3
@@ -214,29 +296,54 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         keyR = jnp.where(hit, (kd & ~jnp.int32(7)) | rowc, INF_BITS | rowc)
         hR = jnp.sum(hit.reshape(UGRP, 8, LANE).astype(jnp.int32), axis=1)
 
-        # ---------------- leaf: 8 Möller tests ----------------
+        # ---------------- leaf: 8 triangle tests ----------------
         v0x, v0y, v0z = lbuf_ref[0], lbuf_ref[1], lbuf_ref[2]
         e1x, e1y, e1z = lbuf_ref[3], lbuf_ref[4], lbuf_ref[5]
         e2x, e2y, e2z = lbuf_ref[6], lbuf_ref[7], lbuf_ref[8]
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        if robust:
+            # watertight Plücker edge-consistent test (the robust leaf variant,
+            # triangle_intersector_pluecker.h; matches ops/triangle.py)
+            ax = v0x - ox; ay = v0y - oy; az = v0z - oz
+            bx = ax + e1x; by = ay + e1y; bz = az + e1z
+            cx = ax + e2x; cy = ay + e2y; cz = az + e2z
+            Up = dx * (cy * bz - cz * by) + dy * (cz * bx - cx * bz) \
+                + dz * (cx * by - cy * bx)
+            Vp = dx * (ay * cz - az * cy) + dy * (az * cx - ax * cz) \
+                + dz * (ax * cy - ay * cx)
+            Wp = dx * (by * az - bz * ay) + dy * (bz * ax - bx * az) \
+                + dz * (bx * ay - by * ax)
+            minUVW = jnp.minimum(jnp.minimum(Up, Vp), Wp)
+            maxUVW = jnp.maximum(jnp.maximum(Up, Vp), Wp)
+            ngx = e1y * e2z - e1z * e2y
+            ngy = e1z * e2x - e1x * e2z
+            ngz = e1x * e2y - e1y * e2x
+            den = ngx * dx + ngy * dy + ngz * dz
+            inv_den = jnp.where(jnp.abs(den) > 1e-30, 1.0 / den, 0.0)
+            tt = (ngx * ax + ngy * ay + ngz * az) * inv_den
+            kvalid = (leaf_ok8
+                      & ((minUVW >= 0.0) | (maxUVW <= 0.0))
+                      & (jnp.abs(den) > 1e-30)
+                      & (tt >= tnear8) & (tt <= tf8))
+        else:
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-        kvalid = (leaf_ok8
-                  & (jnp.abs(det) > 1e-24)
-                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt >= tnear8) & (tt <= tf8))
+            kvalid = (leaf_ok8
+                      & (jnp.abs(det) > 1e-24)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt >= tnear8) & (tt <= tf8))
         if has_mask:
             kvalid = kvalid & ((_i32(lbuf_ref[9]) & _i32(ray_ref[10])) != 0)
         tb = _i32(jnp.maximum(tt, 0.0))                  # monotonic bits
@@ -327,7 +434,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             act_ref[sl] = b8(jnp.where(active, 1, 0))
 
         n_active = jnp.sum(act_ref[:])
-        return it + 1, n_active, ntrips + nt, ltrips + lt
+        # stack-overflow surveillance: lanes whose post-push pointer exceeds
+        # capacity dropped pushes this step (must stay 0 — bvh.h:71 analog)
+        ovf_now = jnp.sum(jnp.where(sp_ref[:] > 8 * STACK_BLOCKS, 1, 0))
+        return it + 1, n_active, ntrips + nt, ltrips + lt, ovf + ovf_now
 
     def cond(state):
         return (state[1] > 0) & (state[0] < MAX_STEPS)
@@ -346,17 +456,24 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     nbuf_ref[:] = jnp.zeros((4, ROWS, LANE), jnp.int32)
     lbuf_ref[:] = jnp.zeros((LCH, ROWS, LANE), jnp.float32)
 
-    it_final, _, ntrips, ltrips = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+    it_final, _, ntrips, ltrips, ovf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)))
 
     # extract block-broadcast state rows c=0 back to (U,128)
     out_t_ref[0] = tf_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
     out_prim_ref[0] = best_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
-    # row 0: step count; row 1: node fetch-loop trips; row 2: leaf trips
+    # row 0: step count; row 1: node fetch-loop trips; row 2: leaf trips;
+    # rows 3/4: node/leaf DMA-miss counts (streamed tables only)
     zu = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
     out_steps_ref[0] = zu + it_final
     out_steps_ref[0, 1:2] = jnp.broadcast_to(ntrips, (1, LANE))
     out_steps_ref[0, 2:3] = jnp.broadcast_to(ltrips, (1, LANE))
+    if stream_nodes or stream_leaves:
+        out_steps_ref[0, 3:4] = jnp.broadcast_to(dmacnt_ref[0], (1, LANE))
+        out_steps_ref[0, 4:5] = jnp.broadcast_to(dmacnt_ref[1], (1, LANE))
+    # row 5: stack-overflow lane-steps (must be 0)
+    out_steps_ref[0, 5:6] = jnp.broadcast_to(ovf, (1, LANE))
 
 
 def _coherence_key(org, dir):
@@ -376,7 +493,7 @@ def _coherence_key(org, dir):
 
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                     occlusion: bool = False, interpret: bool = False,
-                    sort_rays: bool = True
+                    sort_rays: bool = True, robust: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace R rays against a packed scene. Returns (t, best_prim) with
     best_prim = original prim id, -1 for miss. Inputs are flat (R,3)/(R,).
@@ -420,43 +537,86 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     GL = packed.n_leaf_tiles
     has_mask = packed.has_mask
     LCH = 10 if has_mask else 9
+    lrows = ltab_rows(has_mask)
+
+    # --- residency policy: tables small enough stay pinned in VMEM (zero
+    # fetch cost); bigger tables live in HBM and stream through per-group
+    # staging slots. The reference's analog is the compact/HW-resident accel
+    # (kernels/sycl/rthwif_embree_builder.h:81): accel size is bounded by
+    # device main memory, never by on-chip SRAM. ---
+    node_bytes = GN * 32 * LANE * 4
+    leaf_bytes = GL * lrows * LANE * 4
+    scratch_bytes = (UGRP * 8 * STACK_BLOCKS * LANE * 4
+                     + (6 + 11 + 4 + LCH) * ROWS * LANE * 4)
+    budget = VMEM_RESIDENT_BUDGET - scratch_bytes
+    stream_leaves = node_bytes + leaf_bytes > budget
+    # leaves stream first (they are ~3x larger and touched once per visit);
+    # nodes only stream when they alone exceed the budget
+    stream_nodes = stream_leaves and node_bytes > budget - (
+        UGRP * lrows * LANE * 4)
+    resident = (node_bytes if not stream_nodes else UGRP * 32 * LANE * 4) + \
+               (leaf_bytes if not stream_leaves else UGRP * lrows * LANE * 4)
+    vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
+                     VMEM_HARD_LIMIT)
+
     kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
-                               has_mask=has_mask)
+                               has_mask=has_mask, stream_nodes=stream_nodes,
+                               stream_leaves=stream_leaves, robust=robust)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, UGRP, LANE), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
+    if stream_nodes:
+        nspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        # constant block index -> Pallas keeps the table resident in VMEM
+        # across grid steps instead of re-DMAing it per ray block
+        nspec = pl.BlockSpec((GN, 32, LANE), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if stream_leaves:
+        lspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        lspec = pl.BlockSpec((GL, lrows, LANE), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32),  # stacks
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # cur
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # sp
+        pltpu.VMEM((ROWS, LANE), jnp.float32),      # t_far
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # best
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # active
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # fetch outstanding
+        pltpu.VMEM((11, ROWS, LANE), jnp.float32),  # expanded ray const
+        pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
+        pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
+    ]
+    if stream_nodes:
+        scratch += [pltpu.VMEM((UGRP, 32, LANE), jnp.int32),    # node stage
+                    pltpu.SMEM((UGRP,), jnp.int32),             # node tags
+                    pltpu.SemaphoreType.DMA((UGRP,))]
+    if stream_leaves:
+        scratch += [pltpu.VMEM((UGRP, lrows, LANE), jnp.float32),  # leaf stage
+                    pltpu.SMEM((UGRP,), jnp.int32),                # leaf tags
+                    pltpu.SemaphoreType.DMA((UGRP,))]
+    if stream_nodes or stream_leaves:
+        scratch += [pltpu.SMEM((UGRP,), jnp.int32),   # DMA-started flags
+                    pltpu.SMEM((2,), jnp.int32)]      # DMA miss counters
+
     t_out, prim_out, steps_out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            # constant block index -> Pallas keeps the tables resident in
-            # VMEM across grid steps instead of re-DMAing them per ray block
-            pl.BlockSpec((GN, 32, LANE), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GL, ltab_rows(has_mask), LANE), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
-        ],
+        in_specs=[nspec, lspec,
+                  ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec],
         out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.float32),
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32),  # stacks
-            pltpu.VMEM((ROWS, LANE), jnp.int32),        # cur
-            pltpu.VMEM((ROWS, LANE), jnp.int32),        # sp
-            pltpu.VMEM((ROWS, LANE), jnp.float32),      # t_far
-            pltpu.VMEM((ROWS, LANE), jnp.int32),        # best
-            pltpu.VMEM((ROWS, LANE), jnp.int32),        # active
-            pltpu.VMEM((ROWS, LANE), jnp.int32),        # fetch outstanding
-            pltpu.VMEM((11, ROWS, LANE), jnp.float32),  # expanded ray const
-            pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
-            pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
-        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp)
 

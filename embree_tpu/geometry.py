@@ -29,6 +29,8 @@ KIND_ORIENTED_DISC = 4
 KIND_ROUND_LINE = 5
 KIND_FLAT_LINE = 6
 KIND_USER = 7
+KIND_CURVE_FLAT = 8    # cubic curve, ribbon intersector (native)
+KIND_CURVE_ROUND = 9   # cubic curve, swept-circle Newton intersector (native)
 
 FilterFn = Callable  # (org, dir, t, u, v, ng, prim_id, geom_id) -> bool mask
 
@@ -115,9 +117,14 @@ class LineSegmentsGeometry:
 class CurveGeometry:
     """RTC_GEOMETRY_TYPE_*_{BEZIER,BSPLINE,HERMITE,CATMULL_ROM}_CURVE.
 
-    Tessellated into line-segment prims at commit (ops/curve.py rationale);
-    tessellation_rate mirrors the device tessellation-rate knob
-    (rtcSetGeometryTessellationRate).
+    algorithm="native" (default) uses the reference's per-curve intersectors
+    as jittable leaf tests: ribbon for flat curves
+    (curve_intersector_ribbon.h) and the swept-circle Jacobian Newton solve
+    for round curves (curve_intersector_sweep.h). algorithm="tessellate" is
+    the opt-in ahead-of-time lowering into line-segment prims (ops/curve.py).
+    tessellation_rate mirrors rtcSetGeometryTessellationRate (reference
+    default 4, scene_curves.cpp:27) — segment count for ribbons and the
+    tessellate fallback.
     """
     vertices: object             # (n_cp, 4) xyz+radius (hermite: positions)
     indices: object              # (n_curves,) int first-control-point index
@@ -125,13 +132,17 @@ class CurveGeometry:
     kind: str = "round"          # round | flat
     tangents: Optional[object] = None  # (n_cp, 4) hermite tangents
     tessellation_rate: int = 8
+    algorithm: str = "native"    # native | tessellate
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
 
     @property
     def num_prims(self):
-        return np.asarray(self.indices).shape[0] * self.tessellation_rate
+        n = np.asarray(self.indices).shape[0]
+        if self.algorithm == "native" and self.basis != curve_ops.BASIS_LINEAR:
+            return n
+        return n * self.tessellation_rate
 
 
 @dataclasses.dataclass

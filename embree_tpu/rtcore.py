@@ -145,8 +145,10 @@ class Device:
         return props[name]
 
     # ---- scene factory ----
-    def new_scene(self, quality: Optional[int] = None) -> Scene:
-        scene = Scene(quality=self.config.quality if quality is None else quality)
+    def new_scene(self, quality: Optional[int] = None,
+                  robust: Optional[bool] = None) -> Scene:
+        scene = Scene(quality=self.config.quality if quality is None else quality,
+                      robust=self.config.robust if robust is None else robust)
         scene._device = self
         return scene
 

@@ -45,7 +45,8 @@ from .accel.refit import refit_bvh
 from .accel import traverse as trav_mod
 from .accel import traverse_pallas as trav_pallas
 from .geometry import (
-    KIND_DISC, KIND_FLAT_LINE, KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
+    KIND_CURVE_FLAT, KIND_CURVE_ROUND, KIND_DISC, KIND_FLAT_LINE,
+    KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
     KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
     CurveGeometry, GridGeometry, InstanceArrayGeometry, InstanceGeometry,
     LineSegmentsGeometry, PointGeometry, QuadGeometry, SubdivisionGeometry,
@@ -91,6 +92,8 @@ class CommittedScene:
     line_u0: jnp.ndarray; line_u1: jnp.ndarray
     line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
     line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
+    # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4)
+    curve_cp: jnp.ndarray; curve_cpb: jnp.ndarray
     # user geometry bounds
     user_lo: jnp.ndarray; user_up: jnp.ndarray
     packed: Optional[PackedScene]
@@ -99,12 +102,15 @@ class CommittedScene:
     has_motion: bool = dataclasses.field(default=False, metadata={"static": True})
     filters: Tuple = dataclasses.field(default=(), metadata={"static": True})
     user_fns: Tuple = dataclasses.field(default=(), metadata={"static": True})
+    # RTC_SCENE_FLAG_ROBUST analog: widened slab tests + Plücker leaf tests
+    robust: bool = dataclasses.field(default=False, metadata={"static": True})
 
-    _ARRAY_FIELDS = None  # filled below
+    _ARRAY_FIELDS = None   # filled below
+    _STATIC_FIELDS = None  # filled below
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
-        aux = (self.kinds_present, self.has_motion, self.filters, self.user_fns)
+        aux = tuple(getattr(self, f) for f in self._STATIC_FIELDS)
         return children, aux
 
     @classmethod
@@ -112,7 +118,8 @@ class CommittedScene:
         obj = cls.__new__(cls)
         for f, c in zip(cls._ARRAY_FIELDS, children):
             object.__setattr__(obj, f, c)
-        (obj.kinds_present, obj.has_motion, obj.filters, obj.user_fns) = aux
+        for f, v in zip(cls._STATIC_FIELDS, aux):
+            object.__setattr__(obj, f, v)
         return obj
 
     @property
@@ -123,13 +130,18 @@ class CommittedScene:
 CommittedScene._ARRAY_FIELDS = tuple(
     f.name for f in dataclasses.fields(CommittedScene)
     if not f.metadata.get("static"))
+CommittedScene._STATIC_FIELDS = tuple(
+    f.name for f in dataclasses.fields(CommittedScene)
+    if f.metadata.get("static"))
 
 
 class Scene:
     """Mutable geometry container; commit() produces a CommittedScene."""
 
-    def __init__(self, quality: int = BuildQuality.MEDIUM):
+    def __init__(self, quality: int = BuildQuality.MEDIUM,
+                 robust: bool = False):
         self.quality = quality
+        self.robust = robust          # RTC_SCENE_FLAG_ROBUST analog
         self._geoms: Dict[int, object] = {}
         self._next_id = 0
         self.committed: Optional[CommittedScene] = None
@@ -169,11 +181,12 @@ class Scene:
             # (bvh_refit.h / RTC_BUILD_QUALITY_REFIT semantics)
             self.committed = m.finalize(self.quality,
                                         refit_from=self.committed,
-                                        n_wide=self._n_wide)
+                                        n_wide=self._n_wide,
+                                        robust=self.robust)
         else:
             self.committed = m.finalize(
                 BuildQuality.MEDIUM if self.quality == BuildQuality.REFIT
-                else self.quality)
+                else self.quality, robust=self.robust)
             self._n_wide = m.last_n_wide
         return self.committed
 
@@ -193,8 +206,10 @@ class _Merger:
         self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb")}
         self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
                                      "p0b", "r0b", "p1b", "r1b")}
+        self.curve = {k: [] for k in ("cp", "cpb")}
         self.user = {k: [] for k in ("lo", "up")}
-        self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0}
+        self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0,
+                       "curve": 0}
         self.filters = []
         self.user_fns = []
         self.has_motion = False
@@ -332,6 +347,28 @@ class _Merger:
                 gather = idx[:, None] + np.arange(4)[None, :]
                 cp = cps[gather]
                 cpb = cpsb[gather]
+
+            if g.algorithm == "native" and g.basis != curve_ops.BASIS_LINEAR:
+                # native per-curve intersectors: store world-space Bezier CPs;
+                # one prim per curve (reference CurveNi role, curveNi.h)
+                s = self._xf_scale(xf)
+                bez = np.array(curve_ops.to_bezier(g.basis, jnp.asarray(cp)))
+                bezb = np.array(curve_ops.to_bezier(g.basis, jnp.asarray(cpb)))
+                # hermite tangents are offsets: transform w=0? tangent rows of
+                # hermite were already converted into positions by to_bezier,
+                # so ALL bezier cp rows are points — transform uniformly
+                for arr, x in ((bez, xf), (bezb, xfb)):
+                    arr[..., :3] = self._xf_points(x, arr[..., :3])
+                    arr[..., 3] *= s
+                n = cp.shape[0]
+                kind = (KIND_CURVE_ROUND if g.kind == "round"
+                        else KIND_CURVE_FLAT)
+                self._emit(kind, gid, n, self.counts["curve"], inst_stack, mask)
+                self.counts["curve"] += n
+                self.curve["cp"].append(bez.astype(np.float32))
+                self.curve["cpb"].append(bezb.astype(np.float32))
+                return
+
             rate = g.tessellation_rate
             p0, r0, p1, r1, u0, u1 = map(np.asarray, curve_ops.tessellate_segments(
                 g.basis, jnp.asarray(cp), rate))
@@ -432,7 +469,7 @@ class _Merger:
 
     # ------------------------------------------------------------------
     def finalize(self, quality, refit_from: "CommittedScene" = None,
-                 n_wide: int = None) -> CommittedScene:
+                 n_wide: int = None, robust: bool = False) -> CommittedScene:
         rows = np.concatenate(self.rows, axis=0)
         T = rows.shape[0]
 
@@ -450,6 +487,8 @@ class _Merger:
         pnt_n = cat(self.pnt["n"], (3,))
         line = {k: cat(v, (3,) if k.startswith("p") else ())
                 for k, v in self.line.items()}
+        curve_cp = cat(self.curve["cp"], (4, 4))
+        curve_cpb = cat(self.curve["cpb"], (4, 4))
         user_lo = cat(self.user["lo"], (3,)); user_up = cat(self.user["up"], (3,))
 
         # per-prim bounds: union over both time steps (conservative MB bounds,
@@ -483,6 +522,13 @@ class _Merger:
                                        line["p1"][d] + line["r1"][d][:, None],
                                        line["p0b"][d] + line["r0b"][d][:, None],
                                        line["p1b"][d] + line["r1b"][d][:, None]])
+            elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND):
+                # Bezier convex hull dilated by the max control radius
+                # (conservative vs the reference's accurateBounds)
+                cpx = np.concatenate([curve_cp[d], curve_cpb[d]], axis=1)
+                rmax = cpx[..., 3].max(axis=1)[:, None]
+                a = cpx[..., :3].min(axis=1) - rmax
+                b = cpx[..., :3].max(axis=1) + rmax
             elif k == KIND_USER:
                 a = user_lo[d]; b = user_up[d]
             lo[sel] = a
@@ -556,18 +602,20 @@ class _Merger:
             line_u0=line["u0"], line_u1=line["u1"],
             line_p0b=line["p0b"], line_r0b=line["r0b"],
             line_p1b=line["p1b"], line_r1b=line["r1b"],
+            curve_cp=curve_cp.reshape(-1, 4, 4), curve_cpb=curve_cpb.reshape(-1, 4, 4),
             user_lo=user_lo, user_up=user_up,
             packed=packed,
             kinds_present=kinds_present,
             has_motion=bool(self.has_motion),
             filters=tuple(self.filters),
             user_fns=tuple(self.user_fns),
+            robust=robust,
         )
         default = jax.devices()[0]
         arrays = jax.device_put(
             tuple(getattr(cs, f) for f in CommittedScene._ARRAY_FIELDS), default)
         return CommittedScene.tree_unflatten(
-            (cs.kinds_present, cs.has_motion, cs.filters, cs.user_fns), arrays)
+            tuple(getattr(cs, f) for f in CommittedScene._STATIC_FIELDS), arrays)
 
 
 def _native_build_enabled(n_prims: int) -> bool:
@@ -607,7 +655,11 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
 
     if k == KIND_TRIANGLE:
         i = jnp.clip(didx, 0, max(scene.tri_v0.shape[0] - 1, 0))
-        return tri_ops.intersect_moeller(
+        # robust scenes use the watertight Plücker test (the reference's
+        # robust accel variants, scene.cpp:156-196 mode selection)
+        fn = (tri_ops.intersect_pluecker if scene.robust
+              else tri_ops.intersect_moeller)
+        return fn(
             org, dir, lerp(scene.tri_v0[i], scene.tri_v0b[i]),
             lerp(scene.tri_v1[i], scene.tri_v1b[i]),
             lerp(scene.tri_v2[i], scene.tri_v2b[i]), tnear, tfar)
@@ -639,6 +691,12 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         # map sub-segment param into curve-global u
         u = scene.line_u0[i] * (1 - s) + scene.line_u1[i] * s
         return hit, t, u, v, ng
+    if k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND):
+        i = jnp.clip(didx, 0, max(scene.curve_cp.shape[0] - 1, 0))
+        cp = lerp(scene.curve_cp[i], scene.curve_cpb[i])
+        if k == KIND_CURVE_FLAT:
+            return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar)
+        return curve_ops.intersect_sweep(org, dir, cp, tnear, tfar)
     if k == KIND_USER:
         hit = jnp.zeros(tnear.shape, bool)
         t = jnp.full_like(tnear, jnp.inf)
@@ -709,12 +767,12 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
         _, best = trav_pallas.traverse_packed(
             scene.packed, flat.org, flat.dir, flat.tnear, flat.tfar,
             flat.mask.astype(jnp.int32), occlusion=occlusion,
-            interpret=PALLAS_INTERPRET)
+            interpret=PALLAS_INTERPRET, robust=scene.robust)
         return best
     result = trav_mod.traverse(
         scene.bvh, _make_prim_test(scene, flat),
         flat.org, flat.dir, flat.tnear, flat.tfar,
-        occlusion=occlusion, max_leaf_size=LEAF_SIZE)
+        occlusion=occlusion, max_leaf_size=LEAF_SIZE, robust=scene.robust)
     return result.best_prim
 
 

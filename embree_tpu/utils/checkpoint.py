@@ -22,12 +22,13 @@ def save_scene(path: str, scene: CommittedScene):
     flat, treedef = jax.tree.flatten(children)
     for i, leaf in enumerate(flat):
         arrays[f"leaf_{i}"] = np.asarray(leaf)
-    kinds_present, has_motion, filters, user_fns = aux
+    kinds_present, has_motion, filters, user_fns, robust = aux
     if filters or user_fns:
         raise ValueError(
             "scenes with filter/user callbacks cannot be serialized; "
             "re-commit without callbacks or re-attach them after load")
     meta = dict(kinds_present=list(kinds_present), has_motion=bool(has_motion),
+                robust=bool(robust),
                 n_leaves=len(flat), has_packed=scene.packed is not None,
                 packed_has_mask=bool(scene.packed.has_mask)
                 if scene.packed is not None else False)
@@ -43,7 +44,8 @@ def load_scene(path: str) -> CommittedScene:
     ref_treedef = _scene_treedef(meta["has_packed"],
                                  meta.get("packed_has_mask", False))
     children = jax.tree.unflatten(ref_treedef, flat)
-    aux = (tuple(meta["kinds_present"]), bool(meta["has_motion"]), (), ())
+    aux = (tuple(meta["kinds_present"]), bool(meta["has_motion"]), (), (),
+           bool(meta.get("robust", False)))
     return CommittedScene.tree_unflatten(aux, children)
 
 

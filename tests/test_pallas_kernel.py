@@ -64,3 +64,24 @@ def test_non_multiple_of_128_rays():
     h_p = et.intersect(cs, rays, backend="pallas")
     h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
     np.testing.assert_array_equal(np.asarray(h_p.valid), np.asarray(h_j.valid))
+
+
+def test_streamed_tables_match_resident():
+    """HBM-streamed tables (node + leaf DMA staging) must agree exactly with
+    the VMEM-resident specialization — the big-scene path of VERDICT task 1."""
+    from embree_tpu.accel import traverse_pallas as tp
+    cs = _sphere_scene()
+    rays = random_rays(jax.random.PRNGKey(5), 256)
+    h_res = et.intersect(cs, rays, backend="pallas")
+    budget = tp.VMEM_RESIDENT_BUDGET
+    tp.VMEM_RESIDENT_BUDGET = 1       # force node + leaf streaming
+    try:
+        h_str = et.intersect(cs, rays, backend="pallas")
+    finally:
+        tp.VMEM_RESIDENT_BUDGET = budget
+    np.testing.assert_array_equal(np.asarray(h_str.valid), np.asarray(h_res.valid))
+    m = np.asarray(h_res.valid)
+    np.testing.assert_allclose(np.asarray(h_str.t)[m], np.asarray(h_res.t)[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h_str.prim_id)[m],
+                                  np.asarray(h_res.prim_id)[m])

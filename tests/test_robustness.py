@@ -106,3 +106,63 @@ def test_tnear_tfar_extreme():
         time=jnp.zeros(3), mask=jnp.full(3, 0xFFFFFFFF, jnp.uint32))
     hits = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
     np.testing.assert_array_equal(np.asarray(hits.valid), [True, False, False])
+
+
+def test_robust_mode_watertight_both_backends():
+    """robust=True (RTC_SCENE_FLAG_ROBUST analog): widened slabs + Plücker
+    leaf tests on BOTH traversal engines (node_intersector1.h:106-110,
+    triangle_intersector_pluecker.h). Small interpreted-kernel sample here;
+    the full 2e-5 bound on the compiled kernel runs in perf/tpu_checks.py."""
+    from embree_tpu import scene as scene_mod
+    verts, idx = make_sphere_mesh(16, 24)
+    s = et.Scene(robust=True)
+    s.attach(et.TriangleGeometry(verts, idx))
+    cs = s.commit()
+    assert cs.robust
+
+    n = 2048
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(jnp.zeros((n, 3)), jnp.asarray(d))
+    h_jnp = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    assert float(jnp.mean(h_jnp.valid)) == 1.0, "robust jnp path leaked a miss"
+
+    small = et.make_rays(jnp.zeros((256, 3)), jnp.asarray(d[:256]))
+    scene_mod.PALLAS_INTERPRET = True
+    try:
+        h_pal = et.intersect(cs, small, backend="pallas")
+    finally:
+        scene_mod.PALLAS_INTERPRET = False
+    assert float(jnp.mean(h_pal.valid)) == 1.0, "robust pallas path leaked a miss"
+
+
+def test_stack_overflow_counter_zero_on_deep_scene():
+    """Deep-tree stress: traversal must report zero dropped stack pushes
+    (the silent-overflow hazard VERDICT flagged; reference sizes stacks from
+    an enforced depth bound, bvh.h:71-73)."""
+    from embree_tpu.accel import traverse as trav_mod
+    from embree_tpu.scene import LEAF_SIZE, _make_prim_test
+    # clustered geometry at exponentially shrinking scales drives depth up
+    rng = np.random.default_rng(4)
+    vs, ids = [], []
+    base = 0
+    for k in range(12):
+        c = np.array([2.0 ** -k, 0, 0], np.float32)
+        tri = (rng.normal(size=(8, 3, 3)).astype(np.float32) * 2.0 ** -(k + 3)
+               + c)
+        vs.append(tri.reshape(-1, 3))
+        ids.append(np.arange(24).reshape(8, 3) + base)
+        base += 24
+    s = et.Scene()
+    s.attach(et.TriangleGeometry(np.concatenate(vs), np.concatenate(ids).astype(np.int32)))
+    cs = s.commit()
+    n = 512
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org = np.full((n, 3), 3.0, np.float32)
+    rays = et.make_rays(jnp.asarray(org), jnp.asarray(d))
+    res = jax.jit(lambda c, r: trav_mod.traverse(
+        c.bvh, _make_prim_test(c, r), r.org, r.dir, r.tnear, r.tfar,
+        max_leaf_size=LEAF_SIZE))(cs, rays.reshape(n))
+    assert int(res.overflow) == 0
