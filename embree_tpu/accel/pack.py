@@ -1,5 +1,5 @@
-"""Pack a BVH8 + triangle SoA into the two record tables the Pallas
-traversal kernel consumes.
+"""Pack a BVH8 + the merged primitive table into the two record tables the
+Pallas traversal kernel consumes.
 
 Layout rationale (TPU-first): the kernel fetches one record per ray per step
 with a lane-dimension dynamic gather (tpu.dynamic_gather along lanes), so
@@ -10,8 +10,7 @@ tile-parallel kernel (traverse_pallas.py) can consume each field as a whole
 move one (8,128) register per op, so records are kept SMALL: internal nodes
 store child bounds as conservatively-rounded bfloat16 PAIRS (two bounds per
 int32 row) — the TPU analog of Embree's QuantizedNode
-(kernels/bvh/bvh_node_qaabb.h). Leaf triangles stay exact f32 (watertightness
-lives in the leaf test, the node test only needs to be conservative).
+(kernels/bvh/bvh_node_qaabb.h). Leaf primitives stay exact f32.
 
 Internal record (node_table, int32, 32 rows = 4 gather chunks):
   row 0..7     : child refs (>=0: node record id; <0: leaf record ref
@@ -19,24 +18,24 @@ Internal record (node_table, int32, 32 rows = 4 gather chunks):
   row 8+8d+c   : dim d (x,y,z) of child c: lo as the LOW 16 bits (bf16
                  pattern, decode = bits<<16), hi as the HIGH 16 bits
                  (decode = bits & 0xFFFF0000); lo rounded toward -inf, hi
-                 toward +inf (boxes only grow). Row index == child slot, so
-                 the fetched (8,128) register needs NO sublane expansion
-                 gather in the kernel — decode is two shifts + bitcasts.
+                 toward +inf (boxes only grow).
 
-Leaf record (leaf_table, float32, 8 triangles per leaf, LEAF_WIDTH == the
-node branching factor so leaf tests ride the same (8*U,128) register layout
-as the node slab test; TriangleM precomputed-edge analog,
-kernels/geometry/triangle.h:14):
-  rows 0..7   : v0.x (triangle slot s = row s)     8..15  : v0.y
-  rows 16..23 : v0.z     24..31: e1.x    32..39: e1.y    40..47: e1.z
-  rows 48..55 : e2.x     56..63: e2.y    64..71: e2.z
-  [rows 72..79: geometry mask (int32 bitcast) — ONLY when the scene uses
-   non-default masks (has_mask); mask-free scenes save the fetch chunk.
-   The static specialization is the RTCFeatureFlags analog.]
-Empty slots are all-zero v0/e1/e2: det == 0 so they can never report a hit,
-which removes the need for count/valid rows entirely. Triangle identity is
-IMPLICIT: hit slot s of leaf record r encodes to 8*r + s, mapped back to the
-original primitive id through pid_map (one XLA gather after traversal).
+Leaf record (leaf_table, float32, 8 primitive SLOTS per record; slot s of
+field k lives at row 8*k + s). Every primitive kind is encoded into 9 generic
+fields (the per-type layouts of kernels/geometry/{triangle,sphere,disc,
+coneline}_intersector.h collapsed into one record shape):
+  triangle / quad-half : v0(3) e1(3) e2(3)
+  sphere / disc        : center(3) radius
+  oriented disc        : center(3) radius normal(3)
+  round / flat line    : p0(3) r0 p1(3) r1
+Chunk order (each chunk = 8 rows):
+  fields A (9 chunks) | fields B (9, 2-step motion only) | geom mask (1,
+  masked scenes only, int32 bitcast) | kind tag (1, heterogeneous scenes
+  only, int32 bitcast; quads pack as two triangle slots tagged 0).
+All layout variants are STATIC kernel specializations (the RTCFeatureFlags
+analog). Empty/padding slots are kind 0 with zero fields: Möller det == 0
+can never report a hit. Slot identity is implicit (8*record+slot), mapped
+back to the merged prim table through pid_map post-kernel.
 
 Record 0 of node_table is the root. Table shapes: (G, rows, 128).
 """
@@ -52,10 +51,15 @@ from .bvh import BVH, INVALID_NODE, decode_leaf, is_leaf
 
 INVALID_REC = np.int32(0x40000000)  # empty child slot in packed records
 NODE_ROWS = 32
-LEAF_WIDTH = 8               # triangles per leaf record (== node width)
-LEAF_ROWS_NOMASK = 72
-LEAF_ROWS_MASK = 80
+LEAF_WIDTH = 8               # primitive slots per leaf record (== node width)
 LANE = 128
+N_FIELDS = 9
+
+
+def ltab_rows(has_mask: bool, has_motion: bool = False,
+              has_kinds: bool = False) -> int:
+    return 8 * (N_FIELDS * (2 if has_motion else 1)
+                + (1 if has_mask else 0) + (1 if has_kinds else 0))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -63,17 +67,21 @@ LANE = 128
 class PackedScene:
     """Device-resident packed traversable for the Pallas kernel."""
     node_table: jnp.ndarray    # (GN, 32, 128) int32
-    leaf_table: jnp.ndarray    # (GL, 72|80, 128) float32
-    pid_map: jnp.ndarray       # (GL*128*8,) int32: slot -> original prim id
+    leaf_table: jnp.ndarray    # (GL, ltab_rows, 128) float32
+    pid_map: jnp.ndarray       # (GL*128*8,) int32: slot -> merged prim index
     has_mask: bool = False     # static: leaf records carry a mask chunk
+    has_motion: bool = False   # static: leaf records carry B-step fields
+    has_kinds: bool = False    # static: leaf records carry a kind-tag chunk
+    kind_classes: tuple = (0,)  # static: which kind tags occur
 
     def tree_flatten(self):
         return ((self.node_table, self.leaf_table, self.pid_map),
-                (self.has_mask,))
+                (self.has_mask, self.has_motion, self.has_kinds,
+                 self.kind_classes))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0])
+        return cls(children[0], children[1], children[2], *aux)
 
     @property
     def n_node_tiles(self):
@@ -102,23 +110,25 @@ def _bf16_bits_dir(x, toward_pos: bool):
     frac = (b & 0xFFFF) != 0
     t = b & ~jnp.int32(0xFFFF)
     neg = b < 0
-    # truncation rounds toward zero: wrong direction for positives when
-    # rounding up and for negatives when rounding down -> bump magnitude
     bump = frac & (neg != toward_pos)
     t = jnp.where(bump, t + jnp.int32(0x10000), t)
     return (t >> 16) & 0xFFFF
 
 
-def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
-         leaf_size: int = LEAF_WIDTH, has_mask: bool = True) -> PackedScene:
+def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
+         slot_mask, slot_pid, slot_factor: int = 1, has_mask: bool = True,
+         has_motion: bool = False, has_kinds: bool = False,
+         kind_classes=(0,)) -> PackedScene:
     """Pack the first n_wide wide nodes + their leaves into record tables.
 
-    n_wide must be a host int (concrete); shapes derived from it are static.
-    has_mask must be a host bool (static kernel specialization).
+    slot_* arrays index SLOTS: merged prim p owns slots
+    p*slot_factor .. p*slot_factor+slot_factor-1 (factor 2 when quads are
+    present — each quad becomes two triangle slots). slot_pid < 0 marks an
+    unused expansion slot. n_wide / flags must be host values (static).
     """
     assert bvh8.width == 8
-    assert leaf_size <= LEAF_WIDTH
     W = 8
+    leaf_prims = LEAF_WIDTH // slot_factor
     child = bvh8.node_child[:n_wide]          # (n_wide, 8)
     lo = bvh8.node_lower[:n_wide]             # (n_wide, 8, 3)
     up = bvh8.node_upper[:n_wide]
@@ -130,7 +140,6 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
     n_leaf = int(leaf_mask.sum())
     leaf_ids_flat = np.cumsum(leaf_mask) - leaf_mask
 
-    # child refs in packed encoding
     flat_child = np.asarray(child).reshape(-1)
     packed_ref = np.where(
         flat_child == int(INVALID_NODE), INVALID_REC,
@@ -139,7 +148,7 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
 
     GN = max(1, -(-n_wide // LANE))
     GL = max(1, -(-max(n_leaf, 1) // LANE))
-    leaf_rows = LEAF_ROWS_MASK if has_mask else LEAF_ROWS_NOMASK
+    leaf_rows = ltab_rows(has_mask, has_motion, has_kinds)
 
     # --- internal records (int32) ---
     internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
@@ -157,42 +166,52 @@ def pack(bvh8: BVH, n_wide: int, tri_v0, tri_v1, tri_v2, geom_mask_per_prim,
 
     # --- leaf records (float32) ---
     starts, counts = decode_leaf(child)
-    starts = jnp.asarray(np.asarray(starts).reshape(-1)[leaf_mask])   # (n_leaf,)
+    starts = jnp.asarray(np.asarray(starts).reshape(-1)[leaf_mask])
     counts = jnp.asarray(np.asarray(counts).reshape(-1)[leaf_mask])
 
-    slot = starts[:, None] + jnp.arange(LEAF_WIDTH)[None, :]       # (n_leaf, 8)
-    valid = jnp.arange(LEAF_WIDTH)[None, :] < counts[:, None]
-    slot = jnp.clip(slot, 0, bvh8.n_prims - 1)
-    prim = bvh8.prim_order[slot]                                   # original ids
-    # empty slots: zero v0/e1/e2 -> det == 0 -> can never hit
-    v0 = jnp.where(valid[..., None], tri_v0[prim], 0.0)
-    e1 = jnp.where(valid[..., None], tri_v1[prim] - tri_v0[prim], 0.0)
-    e2 = jnp.where(valid[..., None], tri_v2[prim] - tri_v0[prim], 0.0)
+    pslot = starts[:, None] + jnp.arange(leaf_prims)[None, :]  # (n_leaf, P)
+    pvalid = jnp.arange(leaf_prims)[None, :] < counts[:, None]
+    pslot = jnp.clip(pslot, 0, bvh8.n_prims - 1)
+    prim = bvh8.prim_order[pslot]                              # merged indices
+    # expand prims to slots: (n_leaf, P, factor) -> (n_leaf, 8)
+    slots = (prim[:, :, None] * slot_factor
+             + jnp.arange(slot_factor)[None, None, :]).reshape(-1, LEAF_WIDTH)
+    valid = jnp.broadcast_to(pvalid[:, :, None],
+                             pvalid.shape + (slot_factor,)).reshape(
+                                 -1, LEAF_WIDTH)
+    slots = jnp.clip(slots, 0, slot_fields_a.shape[0] - 1)
+    pid = jnp.asarray(slot_pid)[slots]
+    valid = valid & (pid >= 0)
 
-    leaf = jnp.zeros((max(n_leaf, 1), leaf_rows), jnp.float32)
-    leaf = leaf.at[:, 0:8].set(v0[..., 0])
-    leaf = leaf.at[:, 8:16].set(v0[..., 1])
-    leaf = leaf.at[:, 16:24].set(v0[..., 2])
-    leaf = leaf.at[:, 24:32].set(e1[..., 0])
-    leaf = leaf.at[:, 32:40].set(e1[..., 1])
-    leaf = leaf.at[:, 40:48].set(e1[..., 2])
-    leaf = leaf.at[:, 48:56].set(e2[..., 0])
-    leaf = leaf.at[:, 56:64].set(e2[..., 1])
-    leaf = leaf.at[:, 64:72].set(e2[..., 2])
+    fa = jnp.where(valid[..., None], jnp.asarray(slot_fields_a)[slots], 0.0)
+    chunks = [fa]                                   # each (n_leaf, 8, 9)
+    if has_motion:
+        fb = jnp.where(valid[..., None], jnp.asarray(slot_fields_b)[slots], 0.0)
+        chunks.append(fb)
+    leaf_cols = [c.transpose(0, 2, 1).reshape(-1, LEAF_WIDTH * c.shape[-1])
+                 for c in chunks]
     if has_mask:
-        pmask = jnp.where(valid, geom_mask_per_prim[prim].astype(jnp.int32), 0)
-        leaf = leaf.at[:, 72:80].set(_f32_bits(pmask))
+        m = jnp.where(valid, jnp.asarray(slot_mask).astype(jnp.int32)[slots], 0)
+        leaf_cols.append(_f32_bits(m))
+    if has_kinds:
+        k = jnp.where(valid, jnp.asarray(slot_kind).astype(jnp.int32)[slots], 0)
+        leaf_cols.append(_f32_bits(k))
+    leaf = jnp.concatenate(leaf_cols, axis=1).astype(jnp.float32)
+    if n_leaf == 0:
+        leaf = jnp.zeros((1, leaf_rows), jnp.float32)
 
     leaf_recs = jnp.zeros((GL * LANE, leaf_rows), jnp.float32)
-    leaf_recs = leaf_recs.at[:max(n_leaf, 1)].set(leaf)
+    leaf_recs = leaf_recs.at[:leaf.shape[0]].set(leaf)
     leaf_table = leaf_recs.reshape(GL, LANE, leaf_rows).transpose(0, 2, 1)
 
-    # --- slot -> original prim id map (padded slots/records -> -1) ---
-    pid = jnp.where(valid, prim.astype(jnp.int32), -1)             # (n_leaf, 8)
+    # --- slot -> merged prim index map (padded slots/records -> -1) ---
+    pid_tab = jnp.where(valid, pid.astype(jnp.int32), -1)
     pid_map = jnp.full((GL * LANE, LEAF_WIDTH), -1, jnp.int32)
     if n_leaf:
-        pid_map = pid_map.at[:n_leaf].set(pid)
+        pid_map = pid_map.at[:n_leaf].set(pid_tab)
     pid_map = pid_map.reshape(GL * LANE * LEAF_WIDTH)
 
     return PackedScene(node_table=node_table, leaf_table=leaf_table,
-                       pid_map=pid_map, has_mask=has_mask)
+                       pid_map=pid_map, has_mask=has_mask,
+                       has_motion=has_motion, has_kinds=has_kinds,
+                       kind_classes=tuple(kind_classes))

@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pack import INVALID_REC, LEAF_WIDTH, PackedScene
+from .pack import INVALID_REC, LEAF_WIDTH, N_FIELDS, PackedScene, ltab_rows
 
 LANE = 128
 UGRP = 16                # independent 128-ray groups interleaved per program
@@ -79,13 +79,20 @@ def _f32(x):
 
 
 def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
-            mask_ref,
+            mask_ref, time_ref,
             out_t_ref, out_prim_ref, out_steps_ref,
             stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
             need_ref, ray_ref, nbuf_ref, lbuf_ref, *rest,
             GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
-            robust=False):
-    LCH = 10 if has_mask else 9      # leaf chunks
+            robust=False, has_motion=False, has_kinds=False,
+            kind_classes=(0,)):
+    # leaf chunk layout (pack.py): fields A | [fields B] | [mask] | [kind]
+    CH_MASK = N_FIELDS * (2 if has_motion else 1)
+    CH_KIND = CH_MASK + (1 if has_mask else 0)
+    LCH = CH_KIND + (1 if has_kinds else 0)
+    # expanded-ray scratch rows: org(3) dir(3) rdir(3) tnear | [time] | [mask]
+    RAY_TIME = 10
+    RAY_MASK = 10 + (1 if has_motion else 0)
     INF_BITS = jnp.int32(0x7F800000)
 
     # --- streamed-table refs (HBM-resident tables, breaking the VMEM scene
@@ -150,8 +157,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     ray_ref[7] = rcp_safe(dy0)
     ray_ref[8] = rcp_safe(dz0)
     ray_ref[9] = tnear8
+    if has_motion:
+        ray_ref[RAY_TIME] = expand(time_ref[0])
     if has_mask:
-        ray_ref[10] = _f32(expand(mask_ref[0]))
+        ray_ref[RAY_MASK] = _f32(expand(mask_ref[0]))
 
     def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8,
               stage_ref=None, tag_ref=None, sem=None, cnt=None):
@@ -296,56 +305,217 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         keyR = jnp.where(hit, (kd & ~jnp.int32(7)) | rowc, INF_BITS | rowc)
         hR = jnp.sum(hit.reshape(UGRP, 8, LANE).astype(jnp.int32), axis=1)
 
-        # ---------------- leaf: 8 triangle tests ----------------
-        v0x, v0y, v0z = lbuf_ref[0], lbuf_ref[1], lbuf_ref[2]
-        e1x, e1y, e1z = lbuf_ref[3], lbuf_ref[4], lbuf_ref[5]
-        e2x, e2y, e2z = lbuf_ref[6], lbuf_ref[7], lbuf_ref[8]
-        if robust:
-            # watertight Plücker edge-consistent test (the robust leaf variant,
-            # triangle_intersector_pluecker.h; matches ops/triangle.py)
-            ax = v0x - ox; ay = v0y - oy; az = v0z - oz
-            bx = ax + e1x; by = ay + e1y; bz = az + e1z
-            cx = ax + e2x; cy = ay + e2y; cz = az + e2z
-            Up = dx * (cy * bz - cz * by) + dy * (cz * bx - cx * bz) \
-                + dz * (cx * by - cy * bx)
-            Vp = dx * (ay * cz - az * cy) + dy * (az * cx - ax * cz) \
-                + dz * (ax * cy - ay * cx)
-            Wp = dx * (by * az - bz * ay) + dy * (bz * ax - bx * az) \
-                + dz * (bx * ay - by * ax)
-            minUVW = jnp.minimum(jnp.minimum(Up, Vp), Wp)
-            maxUVW = jnp.maximum(jnp.maximum(Up, Vp), Wp)
-            ngx = e1y * e2z - e1z * e2y
-            ngy = e1z * e2x - e1x * e2z
-            ngz = e1x * e2y - e1y * e2x
-            den = ngx * dx + ngy * dy + ngz * dz
-            inv_den = jnp.where(jnp.abs(den) > 1e-30, 1.0 / den, 0.0)
-            tt = (ngx * ax + ngy * ay + ngz * az) * inv_den
-            kvalid = (leaf_ok8
-                      & ((minUVW >= 0.0) | (maxUVW <= 0.0))
-                      & (jnp.abs(den) > 1e-30)
-                      & (tt >= tnear8) & (tt <= tf8))
-        else:
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        # ---------------- leaf: 8 per-kind primitive tests ----------------
+        # each slot carries 9 generic fields (pack.py layout); 2-step motion
+        # scenes lerp A->B fields by ray time; heterogeneous scenes select
+        # the per-slot result by the kind-tag chunk. All branches are STATIC
+        # specializations per scene shape (acceln per-type dispatch analog,
+        # kernels/common/acceln.cpp:44, collapsed into one record test).
+        if has_motion:
+            time8 = ray_ref[RAY_TIME]
 
-            kvalid = (leaf_ok8
-                      & (jnp.abs(det) > 1e-24)
-                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt >= tnear8) & (tt <= tf8))
+            def lf(k):
+                a = lbuf_ref[k]
+                return a + time8 * (lbuf_ref[N_FIELDS + k] - a)
+        else:
+            def lf(k):
+                return lbuf_ref[k]
+
+        class_results = []   # (kind_tag, valid, t)
+
+        if 0 in kind_classes:      # triangles (quads ride as two tri slots)
+            v0x, v0y, v0z = lf(0), lf(1), lf(2)
+            e1x, e1y, e1z = lf(3), lf(4), lf(5)
+            e2x, e2y, e2z = lf(6), lf(7), lf(8)
+            if robust:
+                # watertight Plücker edge-consistent test (the robust leaf
+                # variant, triangle_intersector_pluecker.h; matches
+                # ops/triangle.py)
+                ax = v0x - ox; ay = v0y - oy; az = v0z - oz
+                bx = ax + e1x; by = ay + e1y; bz = az + e1z
+                cx = ax + e2x; cy = ay + e2y; cz = az + e2z
+                Up = dx * (cy * bz - cz * by) + dy * (cz * bx - cx * bz) \
+                    + dz * (cx * by - cy * bx)
+                Vp = dx * (ay * cz - az * cy) + dy * (az * cx - ax * cz) \
+                    + dz * (ax * cy - ay * cx)
+                Wp = dx * (by * az - bz * ay) + dy * (bz * ax - bx * az) \
+                    + dz * (bx * ay - by * ax)
+                minUVW = jnp.minimum(jnp.minimum(Up, Vp), Wp)
+                maxUVW = jnp.maximum(jnp.maximum(Up, Vp), Wp)
+                ngx = e1y * e2z - e1z * e2y
+                ngy = e1z * e2x - e1x * e2z
+                ngz = e1x * e2y - e1y * e2x
+                den = ngx * dx + ngy * dy + ngz * dz
+                inv_den = jnp.where(jnp.abs(den) > 1e-30, 1.0 / den, 0.0)
+                tt0 = (ngx * ax + ngy * ay + ngz * az) * inv_den
+                tvalid = (((minUVW >= 0.0) | (maxUVW <= 0.0))
+                          & (jnp.abs(den) > 1e-30)
+                          & (tt0 >= tnear8) & (tt0 <= tf8))
+            else:
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt0 = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                tvalid = ((jnp.abs(det) > 1e-24)
+                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (tt0 >= tnear8) & (tt0 <= tf8))
+            class_results.append((0, tvalid, tt0))
+
+        if (2 in kind_classes) or (5 in kind_classes):
+            ddot = dx * dx + dy * dy + dz * dz          # |dir|^2
+
+        if 2 in kind_classes:      # KIND_SPHERE (ops/point.py parity)
+            ocx = ox - lf(0); ocy = oy - lf(1); ocz = oz - lf(2)
+            r = lf(3)
+            bq = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = bq * bq - 4.0 * ddot * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv2a = 1.0 / jnp.maximum(2.0 * ddot, 1e-30)
+            st0 = (-bq - sq) * inv2a
+            st1 = (-bq + sq) * inv2a
+            ok = disc >= 0.0
+            v_0 = ok & (st0 >= tnear8) & (st0 <= tf8)
+            v_1 = ok & (st1 >= tnear8) & (st1 <= tf8)
+            class_results.append((2, v_0 | v_1, jnp.where(v_0, st0, st1)))
+
+        if 3 in kind_classes:      # KIND_DISC: ray-facing disc
+            cmox = lf(0) - ox; cmoy = lf(1) - oy; cmoz = lf(2) - oz
+            r = lf(3)
+            d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)
+            td = (cmox * dx + cmoy * dy + cmoz * dz) / d2
+            px = td * dx - cmox; py = td * dy - cmoy; pz = td * dz - cmoz
+            r2 = px * px + py * py + pz * pz
+            class_results.append(
+                (3, (td >= tnear8) & (td <= tf8) & (r2 <= r * r), td))
+
+        if 4 in kind_classes:      # KIND_ORIENTED_DISC
+            cmox = lf(0) - ox; cmoy = lf(1) - oy; cmoz = lf(2) - oz
+            r = lf(3)
+            nx, ny, nz = lf(4), lf(5), lf(6)
+            dn = dx * nx + dy * ny + dz * nz
+            ok = jnp.abs(dn) > 1e-12
+            td = (cmox * nx + cmoy * ny + cmoz * nz) / jnp.where(ok, dn, 1.0)
+            px = td * dx - cmox; py = td * dy - cmoy; pz = td * dz - cmoz
+            r2 = px * px + py * py + pz * pz
+            class_results.append(
+                (4, ok & (td >= tnear8) & (td <= tf8) & (r2 <= r * r), td))
+
+        if 5 in kind_classes:      # KIND_ROUND_LINE: tangent cone-sphere
+            # exact mirror of ops/line.py intersect_round_line
+            # (roundline_intersector.h cone_sphere CSG)
+            p0x, p0y, p0z, r0 = lf(0), lf(1), lf(2), lf(3)
+            p1x, p1y, p1z, r1 = lf(4), lf(5), lf(6), lf(7)
+            rcpdd = 1.0 / jnp.maximum(ddot, 1e-30)
+            ccx = 0.5 * (p0x + p1x); ccy = 0.5 * (p0y + p1y)
+            ccz = 0.5 * (p0z + p1z)
+            dtl = ((ccx - ox) * dx + (ccy - oy) * dy + (ccz - oz) * dz) * rcpdd
+            o2x = ox + dtl * dx; o2y = oy + dtl * dy; o2z = oz + dtl * dz
+            dPx = p1x - p0x; dPy = p1y - p0y; dPz = p1z - p0z
+            dPdP = dPx * dPx + dPy * dPy + dPz * dPz
+            drr = r1 - r0
+            r0dr = r0 * drr
+            gco = dPdP - drr * drr
+            Oxx = o2x - p0x; Oyy = o2y - p0y; Ozz = o2z - p0z
+            OdP = Oxx * dPx + Oyy * dPy + Ozz * dPz
+            dOdP = dx * dPx + dy * dPy + dz * dPz
+            ypc = OdP + r0dr
+            OO = Oxx * Oxx + Oyy * Oyy + Ozz * Ozz
+            OdO = dx * Oxx + dy * Oyy + dz * Ozz
+            Ac = gco * ddot - dOdP * dOdP
+            Bc = 2.0 * (gco * OdO - dOdP * ypc)
+            Cc = gco * OO - OdP * OdP - r0 * r0 * dPdP - 2.0 * r0dr * OdP
+            Dc = Bc * Bc - 4.0 * Ac * Cc
+            cone_ok = (Dc >= 0.0) & (gco > 0.0) & (jnp.abs(Ac) > 1e-18)
+            Qc = jnp.sqrt(jnp.maximum(Dc, 0.0))
+            rc2A = 1.0 / jnp.where(cone_ok, 2.0 * Ac, 1.0)
+            tcf = (-Bc - Qc) * rc2A
+            tcb = (-Bc + Qc) * rc2A
+            ycf = ypc + tcf * dOdP
+            ycb = ypc + tcb * dOdP
+            ulp1 = jnp.float32(1.19209290e-07)
+            cf_ok = cone_ok & (ycf > -ulp1) & (ycf <= gco)
+            cb_ok = cone_ok & (ycb > -ulp1) & (ycb <= gco)
+
+            def lsph(cx_, cy_, cz_, cr):
+                O1x = o2x - cx_; O1y = o2y - cy_; O1z = o2z - cz_
+                O1dO = O1x * dx + O1y * dy + O1z * dz
+                h2 = O1dO * O1dO - ddot * (
+                    O1x * O1x + O1y * O1y + O1z * O1z - cr * cr)
+                okq = h2 >= 0.0
+                rt = jnp.sqrt(jnp.maximum(h2, 0.0))
+                return okq, (-O1dO - rt) * rcpdd, (-O1dO + rt) * rcpdd
+
+            s0ok, ts0f, ts0b = lsph(p0x, p0y, p0z, r0)
+            s1ok, ts1f, ts1b = lsph(p1x, p1y, p1z, r1)
+            s0f = s0ok & (ypc + ts0f * dOdP < 0.0)
+            s0b = s0ok & (ypc + ts0b * dOdP < 0.0)
+            s1f = s1ok & (ypc + ts1f * dOdP > gco)
+            s1b = s1ok & (ypc + ts1b * dOdP > gco)
+            BIG = jnp.float32(3e38)
+            t_lo = jnp.minimum(jnp.where(cf_ok, tcf, BIG),
+                               jnp.minimum(jnp.where(s0f, ts0f, BIG),
+                                           jnp.where(s1f, ts1f, BIG)))
+            t_up = jnp.maximum(jnp.where(cb_ok, tcb, -BIG),
+                               jnp.maximum(jnp.where(s0b, ts0b, -BIG),
+                                           jnp.where(s1b, ts1b, -BIG)))
+            lo_ok = ((tnear8 <= dtl + t_lo) & (dtl + t_lo <= tf8)
+                     & (t_lo < BIG))
+            up_ok = ((tnear8 <= dtl + t_up) & (dtl + t_up <= tf8)
+                     & (t_up > -BIG))
+            t_line = dtl + jnp.where(lo_ok, t_lo, t_up)
+            class_results.append((5, lo_ok | up_ok, t_line))
+
+        if 6 in kind_classes:      # KIND_FLAT_LINE: ray-facing flat segment
+            # exact mirror of ops/line.py intersect_flat_line
+            # (line_intersector.h 2D ray-space closest approach)
+            p0x, p0y, p0z, r0 = lf(0), lf(1), lf(2), lf(3)
+            p1x, p1y, p1z, r1 = lf(4), lf(5), lf(6), lf(7)
+            vx_ = p1x - p0x; vy_ = p1y - p0y; vz_ = p1z - p0z
+            wx = p0x - ox; wy = p0y - oy; wz = p0z - oz
+            invdd = 1.0 / jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)
+            wd = wx * dx + wy * dy + wz * dz
+            vd = vx_ * dx + vy_ * dy + vz_ * dz
+            wv = (wx * vx_ + wy * vy_ + wz * vz_) - wd * vd * invdd
+            vv2 = (vx_ * vx_ + vy_ * vy_ + vz_ * vz_) - vd * vd * invdd
+            okf = vv2 > 1e-20
+            sf = jnp.clip(jnp.where(okf, -wv / jnp.where(okf, vv2, 1.0), 0.0),
+                          0.0, 1.0)
+            mx = wx + sf * vx_; my = wy + sf * vy_; mz = wz + sf * vz_
+            md = mx * dx + my * dy + mz * dz
+            tl = md * invdd
+            d2f = mx * mx + my * my + mz * mz - md * md * invdd
+            rr = r0 + sf * (r1 - r0)
+            fok = ((d2f <= rr * rr) & (tl >= tnear8) & (tl <= tf8)
+                   & (tl > 2.0 * rr * jax.lax.rsqrt(
+                       jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)))
+                   & ((vx_ != 0.0) | (vy_ != 0.0) | (vz_ != 0.0)))
+            class_results.append((6, fok, tl))
+
+        if has_kinds:
+            ktag = _i32(lbuf_ref[CH_KIND])
+            kvalid = jnp.zeros((ROWS, LANE), bool)
+            tt = jnp.zeros((ROWS, LANE), jnp.float32)
+            for tag, v_k, t_k in class_results:
+                sel = ktag == tag
+                kvalid = kvalid | (sel & v_k)
+                tt = jnp.where(sel, t_k, tt)
+        else:
+            _, kvalid, tt = class_results[0]
+        kvalid = kvalid & leaf_ok8
         if has_mask:
-            kvalid = kvalid & ((_i32(lbuf_ref[9]) & _i32(ray_ref[10])) != 0)
+            kvalid = kvalid & (
+                (_i32(lbuf_ref[CH_MASK]) & _i32(ray_ref[RAY_MASK])) != 0)
         tb = _i32(jnp.maximum(tt, 0.0))                  # monotonic bits
         # per-group best-slot key: t bits with slot in the low 3 bits
         lkeyR = jnp.where(kvalid, (tb & ~jnp.int32(7)) | rowc,
@@ -493,23 +663,27 @@ def _coherence_key(org, dir):
 
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                     occlusion: bool = False, interpret: bool = False,
-                    sort_rays: bool = True, robust: bool = False
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    sort_rays: bool = True, robust: bool = False,
+                    time=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace R rays against a packed scene. Returns (t, best_prim) with
-    best_prim = original prim id, -1 for miss. Inputs are flat (R,3)/(R,).
+    best_prim = merged prim index, -1 for miss. Inputs are flat (R,3)/(R,).
 
     sort_rays: reorder rays by a coherence key so each program touches few
     table tiles (fetch gating); results are returned in original order.
+    time: (R,) ray times for 2-step motion scenes (ignored otherwise).
     """
     R = org.shape[0]
+    if time is None:
+        time = jnp.zeros(R, jnp.float32)
     ridx = None
     if sort_rays and R > LANE:
         key = _coherence_key(org, dir)
         idx0 = jnp.arange(R, dtype=jnp.int32)
-        (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, ridx) = \
-            jax.lax.sort((key, org[:, 0], org[:, 1], org[:, 2],
-                          dir[:, 0], dir[:, 1], dir[:, 2],
-                          tnear, tfar, ray_mask, idx0), num_keys=1)
+        (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, time,
+         ridx) = jax.lax.sort(
+             (key, org[:, 0], org[:, 1], org[:, 2],
+              dir[:, 0], dir[:, 1], dir[:, 2],
+              tnear, tfar, ray_mask, time, idx0), num_keys=1)
         org = jnp.stack([ox_, oy_, oz_], axis=-1)
         dir = jnp.stack([dx_, dy_, dz_], axis=-1)
 
@@ -532,12 +706,18 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     tnearp = prep(tnear.astype(jnp.float32), 1)
     tfarp = prep(tfar.astype(jnp.float32), 0)   # pad rays: tnear(1) > tfar(0) -> inactive
     maskp = prep(ray_mask.astype(jnp.int32), 0)
+    timep = prep(time.astype(jnp.float32), 0)
 
     GN = packed.n_node_tiles
     GL = packed.n_leaf_tiles
     has_mask = packed.has_mask
-    LCH = 10 if has_mask else 9
-    lrows = ltab_rows(has_mask)
+    has_motion = packed.has_motion
+    has_kinds = packed.has_kinds
+    kind_classes = packed.kind_classes
+    LCH = (N_FIELDS * (2 if has_motion else 1) + (1 if has_mask else 0)
+           + (1 if has_kinds else 0))
+    NR = 10 + (1 if has_motion else 0) + (1 if has_mask else 0)
+    lrows = ltab_rows(has_mask, has_motion, has_kinds)
 
     # --- residency policy: tables small enough stay pinned in VMEM (zero
     # fetch cost); bigger tables live in HBM and stream through per-group
@@ -547,7 +727,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     node_bytes = GN * 32 * LANE * 4
     leaf_bytes = GL * lrows * LANE * 4
     scratch_bytes = (UGRP * 8 * STACK_BLOCKS * LANE * 4
-                     + (6 + 11 + 4 + LCH) * ROWS * LANE * 4)
+                     + (6 + NR + 4 + LCH) * ROWS * LANE * 4)
     budget = VMEM_RESIDENT_BUDGET - scratch_bytes
     stream_leaves = node_bytes + leaf_bytes > budget
     # leaves stream first (they are ~3x larger and touched once per visit);
@@ -561,7 +741,9 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
 
     kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
                                has_mask=has_mask, stream_nodes=stream_nodes,
-                               stream_leaves=stream_leaves, robust=robust)
+                               stream_leaves=stream_leaves, robust=robust,
+                               has_motion=has_motion, has_kinds=has_kinds,
+                               kind_classes=kind_classes)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -588,7 +770,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # best
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # active
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # fetch outstanding
-        pltpu.VMEM((11, ROWS, LANE), jnp.float32),  # expanded ray const
+        pltpu.VMEM((NR, ROWS, LANE), jnp.float32),  # expanded ray const
         pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
         pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
     ]
@@ -608,7 +790,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         kernel,
         grid=(B,),
         in_specs=[nspec, lspec,
-                  ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec],
+                  ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec],
         out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.float32),
@@ -618,7 +801,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp)
+    )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp,
+      timep)
 
     LAST_STEPS[0] = steps_out
     t_flat = t_out.reshape(B * PROG)[:R]
@@ -630,7 +814,3 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         _, t_flat, prim_flat = jax.lax.sort(
             (ridx, t_flat, prim_flat), num_keys=1)
     return t_flat, prim_flat
-
-
-def ltab_rows(has_mask: bool) -> int:
-    return 80 if has_mask else 72

@@ -31,6 +31,7 @@ KIND_FLAT_LINE = 6
 KIND_USER = 7
 KIND_CURVE_FLAT = 8    # cubic curve, ribbon intersector (native)
 KIND_CURVE_ROUND = 9   # cubic curve, swept-circle Newton intersector (native)
+KIND_CURVE_ORIENTED = 10  # normal-oriented ruled-surface intersector (native)
 
 FilterFn = Callable  # (org, dir, t, u, v, ng, prim_id, geom_id) -> bool mask
 
@@ -129,8 +130,9 @@ class CurveGeometry:
     vertices: object             # (n_cp, 4) xyz+radius (hermite: positions)
     indices: object              # (n_curves,) int first-control-point index
     basis: str = curve_ops.BASIS_BEZIER
-    kind: str = "round"          # round | flat
+    kind: str = "round"          # round | flat | oriented
     tangents: Optional[object] = None  # (n_cp, 4) hermite tangents
+    normals: Optional[object] = None   # (n_cp, 3) oriented-curve normals
     tessellation_rate: int = 8
     algorithm: str = "native"    # native | tessellate
     mask: int = 0xFFFFFFFF

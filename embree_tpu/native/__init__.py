@@ -48,6 +48,7 @@ def load_library():
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.c_int,
+                ctypes.c_int,
             ]
             _lib = lib
         except Exception:  # pragma: no cover - toolchain missing
@@ -59,7 +60,7 @@ def native_available() -> bool:
     return load_library() is not None
 
 
-def build_bvh8_native(lo, up):
+def build_bvh8_native(lo, up, leaf_size=8):
     """Build a BVH8 with the native builder.
 
     Args:
@@ -81,7 +82,7 @@ def build_bvh8_native(lo, up):
     prim_order = np.zeros(n, np.int32)
     count = lib.build_bvh8(n, lo, up, node_lower.reshape(-1),
                            node_upper.reshape(-1), node_child.reshape(-1),
-                           prim_order, max_nodes)
+                           prim_order, max_nodes, leaf_size)
     if count < 0:
         raise RuntimeError("native BVH build overflowed node budget")
     return (node_lower[:count], node_upper[:count], node_child[:count],

@@ -23,7 +23,7 @@
 namespace {
 
 constexpr int kInvalid = -0x7FFFFFFF;
-constexpr int kLeafSize = 8;
+
 constexpr int kBins = 16;
 constexpr int kWidth = 8;
 
@@ -61,6 +61,7 @@ struct Prim {
 
 struct Builder {
   std::vector<Prim> prims;
+  int leaf_size = 8;
   float* node_lower;  // (max_nodes, 8, 3)
   float* node_upper;
   int* node_child;  // (max_nodes, 8)
@@ -158,7 +159,7 @@ struct Builder {
     int count = 1;
     while (count < slots) {
       // split the largest splittable subrange
-      int pick = -1, pick_n = kLeafSize;
+      int pick = -1, pick_n = leaf_size;
       for (int i = 0; i < count; ++i) {
         int n = ends[i] - starts[i];
         if (n > pick_n) {
@@ -184,7 +185,7 @@ struct Builder {
   // Build a node over [begin,end); returns an encoded child ref.
   int build_node(int begin, int end, int depth) {
     int n = end - begin;
-    if (n <= kLeafSize) {
+    if (n <= leaf_size) {
       return -((begin << 4) | n) - 1;
     }
     int starts[kWidth], ends[kWidth];
@@ -230,9 +231,10 @@ extern "C" {
 // Returns node count, or -1 on overflow / error. Node 0 is the root.
 int build_bvh8(int n, const float* lo, const float* up, float* node_lower,
                float* node_upper, int* node_child, int* prim_order,
-               int max_nodes) {
+               int max_nodes, int leaf_size) {
   if (n <= 0) return -1;
   Builder b;
+  b.leaf_size = (leaf_size >= 1 && leaf_size <= 15) ? leaf_size : 8;
   b.node_lower = node_lower;
   b.node_upper = node_upper;
   b.node_child = node_child;

@@ -4,14 +4,11 @@ Behavior parity with the reference curve bases (kernels/subdiv/bezier_curve.h,
 bspline_curve.h, hermite_curve.h, catmullrom_curve.h): evaluation of position
 (xyz + radius in w) and derivative for the four cubic bases, plus linear.
 
-TPU-first divergence (documented; SURVEY.md §7 hard-part 6 rationale): instead
-of the reference's per-ray iterative sweep/ribbon intersectors
-(curve_intersector_sweep.h Newton iteration), curves are tessellated
-ahead-of-time into line-segment primitives (round -> cone segments, flat ->
-ray-facing ribbons, ops/line.py) at a controllable rate — the analog of the
-reference's numBezierSubdivisions (curve_intersector_ribbon.h) but resolved at
-commit time so traversal stays branch-free. The curve parameter u is carried
-per sub-segment and recovered exactly at hit time.
+Native intersectors for all four reference curve algorithms (SURVEY.md §A.3):
+ribbon (flat), swept-circle Jacobian-Newton (round), normal-oriented ruled
+patch, plus the ahead-of-time tessellation lowering as an opt-in
+(CurveGeometry.algorithm="tessellate"). All cubic bases convert exactly to
+Bezier before intersection.
 """
 from __future__ import annotations
 
@@ -368,6 +365,110 @@ def intersect_sweep(org, dir, cp, tnear, tfar, n_seg: int = 16,
     Vv = jnp.cross(dP4[..., :3], Rn)
     ng = jnp.cross(Vv, Uv)
     return hit, t_o, u_o, jnp.zeros_like(u_o), ng
+
+
+def intersect_oriented(org, dir, cp, ncp, tnear, tfar, n_seg: int = 64):
+    """Normal-oriented curve intersector — the ruled surface
+    l(u,v) = p(u) + (1-2v)*r(u)*normalize(cross(n(u), dp(u)))
+    (curve_intersector_oriented.h:82-118 fromCenterAndNormalCurve), resolved
+    TPU-first as n_seg ruled quads intersected in world space instead of the
+    reference's recursive interval bezier clipping (hostile to lockstep
+    SIMD). Hit: u along curve, v in [0,1] from the L (+binormal) edge,
+    Ng = cross(dPdu, dPdv) — matching BezierCurveHit semantics.
+
+    cp: (..., 4, 4) Bezier xyz+r; ncp: (..., 4, 3) Bezier normal spline.
+    """
+    # --- reconstruct the reference's edge curves L/R: a cubic Hermite fit of
+    # the offset curves p(t) -/+ r(t)*normalize(cross(n(t), dp(t))) from the
+    # ENDPOINT values and derivatives (linear_bezier_patch.h
+    # fromCenterAndNormalCurve) — the intersected surface is exactly this
+    # reconstruction, not the pointwise offset. ---
+    def at(u):
+        u = jnp.full(cp.shape[:-2], u, jnp.float32)
+        p = eval_bezier(cp, u)
+        dp = eval_bezier_du(cp, u)
+        n = eval_bezier(ncp, u)
+        dn = eval_bezier_du(ncp, u)
+        bt = jnp.cross(n, dp[..., :3])
+        dbt = jnp.cross(dn, dp[..., :3])     # ddp assumed 0 (reference note)
+        bt2 = jnp.sum(bt * bt, -1, keepdims=True)
+        rl = jax.lax.rsqrt(jnp.maximum(bt2, 1e-36))
+        k = bt * rl
+        dk = (dbt * bt2 - bt * jnp.sum(bt * dbt, -1, keepdims=True)) * rl ** 3
+        w, dw = p[..., 3:4], dp[..., 3:4]
+        l = p[..., :3] - w * k
+        dl = dp[..., :3] - (dw * k + w * dk)
+        r = p[..., :3] + w * k
+        dr = dp[..., :3] + (dw * k + w * dk)
+        return l, dl, r, dr
+
+    l0, dl0, r0, dr0 = at(0.0)
+    l1, dl1, r1, dr1 = at(1.0)
+    third = 1.0 / 3.0
+    Lcp = jnp.stack([l0, l0 + third * dl0, l1 - third * dl1, l1], axis=-2)
+    Rcp = jnp.stack([r0, r0 + third * dr0, r1 - third * dr1, r1], axis=-2)
+
+    ts = np.linspace(0.0, 1.0, n_seg + 1, dtype=np.float32)
+    uk = jnp.broadcast_to(jnp.asarray(ts), cp.shape[:-2] + (n_seg + 1,))
+    lpk = eval_bezier(Lcp[..., None, :, :], uk)        # v=0 edge (L)
+    upk = eval_bezier(Rcp[..., None, :, :], uk)        # v=1 edge (R)
+
+    lp0, lp1 = lpk[..., :-1, :], lpk[..., 1:, :]
+    up0, up1 = upk[..., :-1, :], upk[..., 1:, :]
+
+    O = org[..., None, :]
+    D = dir[..., None, :]
+
+    def quad_test(va, vb, vc, vd):
+        """General-position backface-culled quad test
+        (quad_intersector.h:15-74) with O at the origin."""
+        edb = vb - vd
+        WW = jnp.sum(jnp.cross(vd, edb) * D, -1)
+        sel = (WW <= 0.0)[..., None]
+        v0 = jnp.where(sel, va, vc)
+        v1 = jnp.where(sel, vb, vd)
+        v2 = jnp.where(sel, vd, vb)
+        e0 = v2 - v0
+        e1 = v0 - v1
+        U = jnp.sum(jnp.cross(v0, e0) * D, -1)
+        V = jnp.sum(jnp.cross(v1, e1) * D, -1)
+        ok = jnp.maximum(U, V) <= 0.0
+        ngq = jnp.cross(e1, e0)
+        den = jnp.sum(ngq * D, -1)
+        rcp_den = jnp.where(den != 0.0,
+                            1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+        tq = rcp_den * jnp.sum(v0 * ngq, -1)
+        ok &= (tnear[..., None] <= tq) & (tq <= tfar[..., None]) & (den != 0.0)
+        uq = U * rcp_den
+        vq = V * rcp_den
+        uq = jnp.where(sel[..., 0], uq, 1.0 - uq)
+        vq = jnp.where(sel[..., 0], vq, 1.0 - vq)
+        return ok, tq, uq, vq
+
+    # double-sided (curve_intersector_oriented.h accepts any root): test the
+    # quad with both windings; at most one side accepts per ray
+    ok_f, t_f, u_f, v_f = quad_test(lp0 - O, lp1 - O, up1 - O, up0 - O)
+    ok_b, t_b, u_b, v_b = quad_test(up0 - O, up1 - O, lp1 - O, lp0 - O)
+    valid = ok_f | ok_b
+    t = jnp.where(ok_f, t_f, t_b)
+    uq = jnp.where(ok_f, u_f, u_b)
+    vq = jnp.where(ok_f, v_f, 1.0 - v_b)   # back winding flips v
+
+    u_full = (jnp.asarray(np.arange(n_seg, dtype=np.float32)) + uq) / n_seg
+    tbig = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(tbig, axis=-1)
+    hit = jnp.take_along_axis(valid, best[..., None], -1)[..., 0]
+    t_o = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    u_o = jnp.take_along_axis(u_full, best[..., None], -1)[..., 0]
+    v_o = jnp.take_along_axis(vq, best[..., None], -1)[..., 0]
+    # Ng = cross(dPdu, dPdv) on the reconstructed surface
+    # P(u,v) = (1-v) L(u) + v R(u)
+    dL = eval_bezier_du(Lcp, u_o)
+    dR = eval_bezier_du(Rcp, u_o)
+    dPdu = (1.0 - v_o[..., None]) * dL + v_o[..., None] * dR
+    dPdv = eval_bezier(Rcp, u_o) - eval_bezier(Lcp, u_o)
+    ng = jnp.cross(dPdu, dPdv)
+    return hit, t_o, u_o, v_o, ng
 
 
 def tessellate_segments(basis: str, cp, n_sub: int):

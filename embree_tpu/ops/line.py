@@ -1,101 +1,137 @@
-"""Line segment intersectors: round (cone + sphere caps) and flat (ribbon).
+"""Line segment intersectors: round (tangent cone-sphere) and flat (ribbon).
 
 Behavior parity with the reference line intersectors:
-- round: kernels/geometry/roundline_intersector.h — varying-radius cone
-  between the endpoints with spherical caps (capsule when r0 == r1)
-- flat: kernels/geometry/line_intersector.h — ray-facing ribbon: hit when the
-  ray passes within the interpolated radius of the segment
-
-Segments are (p0, r0) -> (p1, r1); the curve parameter u in [0,1] runs along
-the segment (v = 0, matching RTC_GEOMETRY_TYPE_*_CURVE linear u/v semantics).
+- round: kernels/geometry/roundline_intersector.h — the segment surface is
+  the cone TANGENT to the end spheres p0/r0, p1/r1 (not the naive
+  interpolated-radius cone), union the end spheres; hit u = clip-plane
+  parameter, Ng_cone = g*h - dP*y (roundline_intersector.h:420-470).
+  Per-segment sphere union reproduces the reference's neighbor-clipped CSG
+  for rays starting outside the tube (the clipping only removes interior
+  hits, which are never the closest exterior hit).
+- flat: kernels/geometry/line_intersector.h — 2D closest-approach in ray
+  space, Ng = segment tangent v1-v0 (line_intersector.h:80-88). Expressed
+  here with perpendicular-projection dot products, which is algebraically
+  the reference's ray-space (x,y) computation without materializing the
+  frame.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import dot
-from .point import intersect_sphere
+
+SELF_INTERSECTION_AVOIDANCE = 2.0   # CMakeLists.txt:212 default
 
 
 def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar):
-    """Ray vs varying-radius cone segment with spherical end caps."""
-    A = p1 - p0
-    aa = jnp.maximum(dot(A, A), 1e-20)
+    """Ray vs tangent cone-sphere segment. Returns (hit, t, u, v, ng)."""
+    dOdO = dot(dir, dir)
+    rcp_dOdO = 1.0 / jnp.maximum(dOdO, 1e-30)
+    # recenter the ray near the segment (roundline_intersector.h:545-549)
+    center = 0.5 * (p0 + p1)
+    dt = dot(center - org, dir) * rcp_dOdO
+    o = org + dt[..., None] * dir
+
+    dP = p1 - p0
+    dPdP = dot(dP, dP)
     dr = r1 - r0
-    k = dr * dr / aa
-    u_vec = org - p0
-    p = dot(u_vec, A)
-    q = dot(dir, A)
+    r0dr = r0 * dr
+    g = dPdP - dr * dr
 
-    A2 = dot(dir, dir) - (q * q / aa) * (1 + k)
-    A1 = 2.0 * (dot(u_vec, dir) - (p * q / aa) * (1 + k) - r0 * dr * q / aa)
-    A0 = dot(u_vec, u_vec) - (p * p / aa) * (1 + k) - r0 * r0 - 2 * r0 * dr * p / aa
+    O = o - p0
+    OdP = dot(O, dP)
+    dOdP = dot(dir, dP)
+    yp = OdP + r0dr
 
-    disc = A1 * A1 - 4 * A2 * A0
-    ok = (disc >= 0) & (jnp.abs(A2) > 1e-20)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv2 = 1.0 / jnp.where(ok, 2 * A2, 1.0)
-    tc0 = (-A1 - sq) * inv2
-    tc1 = (-A1 + sq) * inv2
+    # --- tangent cone (roundline_intersector.h:308-345) ---
+    OO = dot(O, O)
+    OdO = dot(dir, O)
+    A = g * dOdO - dOdP * dOdP
+    B = 2.0 * (g * OdO - dOdP * yp)
+    C = g * OO - OdP * OdP - r0 * r0 * dPdP - 2.0 * r0dr * OdP
+    D = B * B - 4.0 * A * C
+    cone_ok = (D >= 0.0) & (g > 0.0) & (jnp.abs(A) > 1e-18)
+    Q = jnp.sqrt(jnp.maximum(D, 0.0))
+    rcp2A = 1.0 / jnp.where(cone_ok, 2.0 * A, 1.0)
+    tcf = (-B - Q) * rcp2A
+    tcb = (-B + Q) * rcp2A
+    ycf = yp + tcf * dOdP
+    ycb = yp + tcb * dOdP
+    eps = 1.19209290e-07
+    cf_ok = cone_ok & (ycf > -eps) & (ycf <= g)
+    cb_ok = cone_ok & (ycb > -eps) & (ycb <= g)
 
-    def cone_accept(t):
-        s = (p + t * q) / aa
-        return ok & (t >= tnear) & (t <= tfar) & (s >= 0.0) & (s <= 1.0), s
+    # --- end spheres (begin sphere always on: standalone segments) ---
+    def sphere(c, r):
+        O1 = o - c
+        O1dO = dot(O1, dir)
+        h2 = O1dO * O1dO - dOdO * (dot(O1, O1) - r * r)
+        ok = h2 >= 0.0
+        rt = jnp.sqrt(jnp.maximum(h2, 0.0))
+        tf_ = (-O1dO - rt) * rcp_dOdO
+        tb_ = (-O1dO + rt) * rcp_dOdO
+        return ok, tf_, tb_
 
-    c0_hit, s0 = cone_accept(tc0)
-    c1_hit, s1 = cone_accept(tc1)
-    cone_hit = c0_hit | c1_hit
-    t_cone = jnp.where(c0_hit, tc0, tc1)
-    s_cone = jnp.where(c0_hit, s0, s1)
+    s0_ok, ts0f, ts0b = sphere(p0, r0)
+    s1_ok, ts1f, ts1b = sphere(p1, r1)
+    # sphere hits inside the cone's y-range belong to the cone surface
+    s0f_ok = s0_ok & (yp + ts0f * dOdP < 0.0)
+    s0b_ok = s0_ok & (yp + ts0b * dOdP < 0.0)
+    s1f_ok = s1_ok & (yp + ts1f * dOdP > g)
+    s1b_ok = s1_ok & (yp + ts1b * dOdP > g)
 
-    # spherical caps
-    cap0_hit, t_cap0, _, _, ng_cap0 = intersect_sphere(org, dir, p0, r0, tnear, tfar)
-    cap1_hit, t_cap1, _, _, ng_cap1 = intersect_sphere(org, dir, p1, r1, tnear, tfar)
-
-    # choose nearest among candidates
     INF = jnp.inf
-    t_c = jnp.where(cone_hit, t_cone, INF)
-    t_a = jnp.where(cap0_hit, t_cap0, INF)
-    t_b = jnp.where(cap1_hit, t_cap1, INF)
-    t = jnp.minimum(jnp.minimum(t_c, t_a), t_b)
-    hit = cone_hit | cap0_hit | cap1_hit
+    t_lower = jnp.minimum(jnp.where(cf_ok, tcf, INF),
+                          jnp.minimum(jnp.where(s0f_ok, ts0f, INF),
+                                      jnp.where(s1f_ok, ts1f, INF)))
+    t_upper = jnp.maximum(jnp.where(cb_ok, tcb, -INF),
+                          jnp.maximum(jnp.where(s0b_ok, ts0b, -INF),
+                                      jnp.where(s1b_ok, ts1b, -INF)))
+    lo_ok = (tnear <= dt + t_lower) & (dt + t_lower <= tfar) & (t_lower < INF)
+    up_ok = (tnear <= dt + t_upper) & (dt + t_upper <= tfar) & (t_upper > -INF)
+    hit = lo_ok | up_ok
+    t_loc = jnp.where(lo_ok, t_lower, t_upper)
 
-    # cone normal: radial component minus axial slope
-    x = org + dir * t_cone[..., None]
-    axis_pt = p0 + s_cone[..., None] * A
-    radial = x - axis_pt
-    ng_cone = radial * jnp.sqrt(aa)[..., None] - A * dr[..., None]
-
-    use_cone = hit & (t == t_c)
-    use_a = hit & ~use_cone & (t == t_a)
-    ng = jnp.where(use_cone[..., None], ng_cone,
-                   jnp.where(use_a[..., None], ng_cap0, ng_cap1))
-    u = jnp.where(use_cone, s_cone, jnp.where(use_a, 0.0, 1.0))
-    return hit, jnp.where(hit, t, INF), jnp.clip(u, 0.0, 1.0), jnp.zeros_like(u), ng
+    cone_first = (t_loc == tcf) | (t_loc == tcb)
+    sph0_first = (t_loc == ts0f) | (t_loc == ts0b)
+    y_at = yp + t_loc * dOdP
+    h = O + t_loc[..., None] * dir
+    ng_cone = g[..., None] * h - dP * y_at[..., None]
+    ng_s0 = h                      # o + t*d - p0
+    ng_s1 = (o - p1) + t_loc[..., None] * dir
+    ng = jnp.where(cone_first[..., None], ng_cone,
+                   jnp.where(sph0_first[..., None], ng_s0, ng_s1))
+    u = jnp.where(cone_first, jnp.clip(y_at / jnp.maximum(g, 1e-30), 0.0, 1.0),
+                  jnp.where(sph0_first, 0.0, 1.0))
+    t = dt + t_loc
+    return hit, jnp.where(hit, t, INF), u, jnp.zeros_like(u), ng
 
 
 def intersect_flat_line(org, dir, p0, r0, p1, r1, tnear, tfar):
-    """Ray-facing ribbon: closest-approach test between the ray and segment."""
-    A = p1 - p0
+    """Ray-facing flat segment (line_intersector.h): closest approach in the
+    plane perpendicular to the ray; Ng = segment tangent."""
+    dOdO = jnp.maximum(dot(dir, dir), 1e-30)
+    inv_dOdO = 1.0 / dOdO
+    v = p1 - p0
     w = p0 - org
-    # solve min over (t_ray, s) of |org + t d - (p0 + s A)|^2
-    a = dot(dir, dir)
-    b = dot(dir, A)
-    c = dot(A, A)
-    d_ = dot(dir, w)
-    e = dot(A, w)
-    denom = a * c - b * b
-    ok = jnp.abs(denom) > 1e-20
-    s = jnp.clip(jnp.where(ok, (b * d_ - a * e) / jnp.where(ok, denom, 1.0), 0.0),
-                 0.0, 1.0)
-    t = (d_ + s * b) / jnp.maximum(a, 1e-30)
-    x = org + dir * t[..., None]
-    axis_pt = p0 + s[..., None] * A
-    dist2 = dot(x - axis_pt, x - axis_pt)
-    r = r0 + s * (r1 - r0)
-    hit = (t >= tnear) & (t <= tfar) & (dist2 <= r * r)
-    ng = -dir
-    return hit, jnp.where(hit, t, jnp.inf), s, jnp.zeros_like(s), ng
+    # perpendicular (ray-space 2D) projections via dots
+    wv = dot(w, v) - dot(w, dir) * dot(v, dir) * inv_dOdO
+    vv = dot(v, v) - dot(v, dir) * dot(v, dir) * inv_dOdO
+    ok = vv > 1e-20
+    u = jnp.clip(jnp.where(ok, -wv / jnp.where(ok, vv, 1.0), 0.0), 0.0, 1.0)
+    m = w + u[..., None] * v                 # hit candidate rel. origin
+    md = dot(m, dir)
+    t = md * inv_dOdO
+    d2 = dot(m, m) - md * md * inv_dOdO      # squared perpendicular distance
+    r = r0 + u * (r1 - r0)
+    hit = (d2 <= r * r) & (t >= tnear) & (t <= tfar)
+    # self-intersection avoidance (line_intersector.h:77)
+    hit &= t > SELF_INTERSECTION_AVOIDANCE * r * jax.lax.rsqrt(dOdO)
+    # ignore degenerate segments (line_intersector.h:82-84)
+    hit &= (v != 0.0).any(-1)
+    ng = jnp.broadcast_to(v, m.shape)
+    return hit, jnp.where(hit, t, jnp.inf), u, jnp.zeros_like(u), ng
 
 
 def line_bounds(p0, r0, p1, r1):

@@ -45,7 +45,8 @@ from .accel.refit import refit_bvh
 from .accel import traverse as trav_mod
 from .accel import traverse_pallas as trav_pallas
 from .geometry import (
-    KIND_CURVE_FLAT, KIND_CURVE_ROUND, KIND_DISC, KIND_FLAT_LINE,
+    KIND_CURVE_FLAT, KIND_CURVE_ORIENTED, KIND_CURVE_ROUND, KIND_DISC,
+    KIND_FLAT_LINE,
     KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
     KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
     CurveGeometry, GridGeometry, InstanceArrayGeometry, InstanceGeometry,
@@ -85,15 +86,17 @@ class CommittedScene:
     quad_v: jnp.ndarray; quad_vb: jnp.ndarray
     # points
     pnt_c: jnp.ndarray; pnt_r: jnp.ndarray; pnt_n: jnp.ndarray
-    pnt_cb: jnp.ndarray; pnt_rb: jnp.ndarray
+    pnt_cb: jnp.ndarray; pnt_rb: jnp.ndarray; pnt_nb: jnp.ndarray
     # line segments (round + flat share the table; curves tessellate here)
     line_p0: jnp.ndarray; line_r0: jnp.ndarray
     line_p1: jnp.ndarray; line_r1: jnp.ndarray
     line_u0: jnp.ndarray; line_u1: jnp.ndarray
     line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
     line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
-    # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4)
+    # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4);
+    # normal splines (Tc, 4, 3) for oriented curves
     curve_cp: jnp.ndarray; curve_cpb: jnp.ndarray
+    curve_n: jnp.ndarray; curve_nb: jnp.ndarray
     # user geometry bounds
     user_lo: jnp.ndarray; user_up: jnp.ndarray
     packed: Optional[PackedScene]
@@ -203,10 +206,10 @@ class _Merger:
         self.rows = []          # per-prim (kind, geom, local, inst0, inst1, data_idx, mask)
         self.tri = {k: [] for k in ("v0", "v1", "v2", "v0b", "v1b", "v2b")}
         self.quad = {k: [] for k in ("v", "vb")}
-        self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb")}
+        self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb", "nb")}
         self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
                                      "p0b", "r0b", "p1b", "r1b")}
-        self.curve = {k: [] for k in ("cp", "cpb")}
+        self.curve = {k: [] for k in ("cp", "cpb", "n", "nb")}
         self.user = {k: [] for k in ("lo", "up")}
         self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0,
                        "curve": 0}
@@ -301,10 +304,15 @@ class _Merger:
             n = pa.shape[0]
             kind = {"sphere": KIND_SPHERE, "disc": KIND_DISC,
                     "oriented_disc": KIND_ORIENTED_DISC}[g.kind]
-            nrm = (np.asarray(g.normals, np.float32) if g.normals is not None
-                   else np.tile(np.array([[0, 0, 1]], np.float32), (n, 1)))
+            if g.normals is not None:
+                nrm, nrmb, nmotion = _split_timesteps(g.normals, "normals")
+                self.has_motion |= nmotion
+            else:
+                nrm = nrmb = np.tile(np.array([[0, 0, 1]], np.float32), (n, 1))
             if xf is not None:
-                nrm = nrm @ np.linalg.inv(np.asarray(xf)[:3, :3]).astype(np.float32)
+                inv = np.linalg.inv(np.asarray(xf)[:3, :3]).astype(np.float32)
+                nrm = nrm @ inv
+                nrmb = nrmb @ inv
             self._emit(kind, gid, n, self.counts["pnt"], inst_stack, mask)
             self.counts["pnt"] += n
             self.pnt["c"].append(np.asarray(c0, np.float32))
@@ -312,6 +320,7 @@ class _Merger:
             self.pnt["n"].append(np.asarray(nrm, np.float32))
             self.pnt["cb"].append(np.asarray(c1, np.float32))
             self.pnt["rb"].append(np.asarray(r1, np.float32))
+            self.pnt["nb"].append(np.asarray(nrmb, np.float32))
 
         elif isinstance(g, LineSegmentsGeometry):
             va, vb_, motion = _split_timesteps(g.vertices, "vertices")
@@ -340,9 +349,10 @@ class _Merger:
             self.has_motion |= motion or xf_motion
             idx = np.asarray(g.indices, np.int32)
             if g.basis == curve_ops.BASIS_HERMITE:
-                tan = np.asarray(g.tangents, np.float32)
+                tan, tanb, tmotion = _split_timesteps(g.tangents, "tangents")
+                self.has_motion |= tmotion
                 cp = np.stack([cps[idx], tan[idx], cps[idx + 1], tan[idx + 1]], axis=1)
-                cpb = np.stack([cpsb[idx], tan[idx], cpsb[idx + 1], tan[idx + 1]], axis=1)
+                cpb = np.stack([cpsb[idx], tanb[idx], cpsb[idx + 1], tanb[idx + 1]], axis=1)
             else:
                 gather = idx[:, None] + np.arange(4)[None, :]
                 cp = cps[gather]
@@ -361,12 +371,37 @@ class _Merger:
                     arr[..., :3] = self._xf_points(x, arr[..., :3])
                     arr[..., 3] *= s
                 n = cp.shape[0]
-                kind = (KIND_CURVE_ROUND if g.kind == "round"
-                        else KIND_CURVE_FLAT)
+                if g.kind == "oriented":
+                    kind = KIND_CURVE_ORIENTED
+                elif g.kind == "round":
+                    kind = KIND_CURVE_ROUND
+                else:
+                    kind = KIND_CURVE_FLAT
+                # normal spline for oriented curves (all-zero when unused;
+                # reference normal buffer, scene_curves.h oriented types)
+                if g.normals is not None:
+                    nr, nrb, nmotion = _split_timesteps(g.normals, "normals")
+                    self.has_motion |= nmotion
+                    if g.basis == curve_ops.BASIS_HERMITE:
+                        z = np.zeros_like(nr[idx])
+                        ncp = np.stack([nr[idx], z, nr[idx + 1], z], axis=1)
+                        ncpb = np.stack([nrb[idx], z, nrb[idx + 1], z], axis=1)
+                    else:
+                        ncp, ncpb = nr[gather], nrb[gather]
+                    nbez = np.array(curve_ops.to_bezier(g.basis, jnp.asarray(ncp)))
+                    nbezb = np.array(curve_ops.to_bezier(g.basis, jnp.asarray(ncpb)))
+                    if xf is not None:
+                        inv = np.linalg.inv(np.asarray(xf)[:3, :3]).astype(np.float32)
+                        nbez = nbez @ inv
+                        nbezb = nbezb @ inv
+                else:
+                    nbez = nbezb = np.zeros((n, 4, 3), np.float32)
                 self._emit(kind, gid, n, self.counts["curve"], inst_stack, mask)
                 self.counts["curve"] += n
                 self.curve["cp"].append(bez.astype(np.float32))
                 self.curve["cpb"].append(bezb.astype(np.float32))
+                self.curve["n"].append(nbez.astype(np.float32))
+                self.curve["nb"].append(nbezb.astype(np.float32))
                 return
 
             rate = g.tessellation_rate
@@ -484,11 +519,13 @@ class _Merger:
         quad = {k: cat(v, (4, 3)) for k, v in self.quad.items()}
         pnt_c = cat(self.pnt["c"], (3,)); pnt_cb = cat(self.pnt["cb"], (3,))
         pnt_r = cat(self.pnt["r"], ()); pnt_rb = cat(self.pnt["rb"], ())
-        pnt_n = cat(self.pnt["n"], (3,))
+        pnt_n = cat(self.pnt["n"], (3,)); pnt_nb = cat(self.pnt["nb"], (3,))
         line = {k: cat(v, (3,) if k.startswith("p") else ())
                 for k, v in self.line.items()}
         curve_cp = cat(self.curve["cp"], (4, 4))
         curve_cpb = cat(self.curve["cpb"], (4, 4))
+        curve_n = cat(self.curve["n"], (4, 3))
+        curve_nb = cat(self.curve["nb"], (4, 3))
         user_lo = cat(self.user["lo"], (3,)); user_up = cat(self.user["up"], (3,))
 
         # per-prim bounds: union over both time steps (conservative MB bounds,
@@ -522,7 +559,8 @@ class _Merger:
                                        line["p1"][d] + line["r1"][d][:, None],
                                        line["p0b"][d] + line["r0b"][d][:, None],
                                        line["p1b"][d] + line["r1b"][d][:, None]])
-            elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND):
+            elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND,
+                       KIND_CURVE_ORIENTED):
                 # Bezier convex hull dilated by the max control radius
                 # (conservative vs the reference's accurateBounds)
                 cpx = np.concatenate([curve_cp[d], curve_cpb[d]], axis=1)
@@ -546,6 +584,14 @@ class _Merger:
 
         kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
 
+        # packed fast-path eligibility: every kind encodable into the 9-field
+        # leaf records, no filter/user callbacks (those force the composable
+        # jnp engine). Quads expand to two triangle slots -> halved leaf size.
+        packable = (set(kinds_present) <= _PACKED_KINDS
+                    and not self.filters and not self.user_fns)
+        leaf_size = LEAF_SIZE // (2 if (packable and KIND_QUAD in kinds_present)
+                                  else 1)
+
         # ---------------- build (or refit) on host CPU backend ----------------
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -559,7 +605,8 @@ class _Merger:
                 # native C++ builder fast path (embree_tpu/native): the host
                 # runtime analog of the reference's native builder stack
                 from .native import build_bvh8_native
-                nl, nu, nc, order, cnt = build_bvh8_native(lo, up)
+                nl, nu, nc, order, cnt = build_bvh8_native(
+                    lo, up, leaf_size=leaf_size)
                 bvh8 = BVH(node_lower=jax.device_put(nl, cpu),
                            node_upper=jax.device_put(nu, cpu),
                            node_child=jax.device_put(nc, cpu),
@@ -568,22 +615,18 @@ class _Merger:
                 self.last_n_wide = n_wide
             else:
                 top_levels = 0 if quality == BuildQuality.LOW else 16
-                bvh2 = jax.jit(partial(build_sah, leaf_size=LEAF_SIZE,
+                bvh2 = jax.jit(partial(build_sah, leaf_size=leaf_size,
                                        max_top_levels=top_levels))(lo_d, up_d)
                 bvh8, n_wide_arr = jax.jit(partial(collapse, width=8))(bvh2)
                 n_wide = int(n_wide_arr)
                 self.last_n_wide = n_wide
 
             packed = None
-            if (kinds_present == (KIND_TRIANGLE,) and not self.filters
-                    and not self.has_motion):
-                packed = pack(bvh8, n_wide,
-                              jax.device_put(tri["v0"], cpu),
-                              jax.device_put(tri["v1"], cpu),
-                              jax.device_put(tri["v2"], cpu),
-                              jax.device_put(rows[:, 6].astype(np.uint32), cpu),
-                              has_mask=bool(
-                                  np.any(rows[:, 6] != 0xFFFFFFFF)))
+            if packable:
+                packed = _build_packed(
+                    bvh8, n_wide, rows, kinds_present,
+                    bool(self.has_motion), tri, quad,
+                    pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line)
 
         cs = CommittedScene(
             bvh=bvh8,
@@ -596,13 +639,15 @@ class _Merger:
             tri_v0=tri["v0"], tri_v1=tri["v1"], tri_v2=tri["v2"],
             tri_v0b=tri["v0b"], tri_v1b=tri["v1b"], tri_v2b=tri["v2b"],
             quad_v=quad["v"], quad_vb=quad["vb"],
-            pnt_c=pnt_c, pnt_r=pnt_r, pnt_n=pnt_n, pnt_cb=pnt_cb, pnt_rb=pnt_rb,
+            pnt_c=pnt_c, pnt_r=pnt_r, pnt_n=pnt_n, pnt_cb=pnt_cb,
+            pnt_rb=pnt_rb, pnt_nb=pnt_nb,
             line_p0=line["p0"], line_r0=line["r0"],
             line_p1=line["p1"], line_r1=line["r1"],
             line_u0=line["u0"], line_u1=line["u1"],
             line_p0b=line["p0b"], line_r0b=line["r0b"],
             line_p1b=line["p1b"], line_r1b=line["r1b"],
             curve_cp=curve_cp.reshape(-1, 4, 4), curve_cpb=curve_cpb.reshape(-1, 4, 4),
+            curve_n=curve_n.reshape(-1, 4, 3), curve_nb=curve_nb.reshape(-1, 4, 3),
             user_lo=user_lo, user_up=user_up,
             packed=packed,
             kinds_present=kinds_present,
@@ -616,6 +661,74 @@ class _Merger:
             tuple(getattr(cs, f) for f in CommittedScene._ARRAY_FIELDS), default)
         return CommittedScene.tree_unflatten(
             tuple(getattr(cs, f) for f in CommittedScene._STATIC_FIELDS), arrays)
+
+
+_PACKED_KINDS = {KIND_TRIANGLE, KIND_QUAD, KIND_SPHERE, KIND_DISC,
+                 KIND_ORIENTED_DISC, KIND_ROUND_LINE, KIND_FLAT_LINE}
+
+
+def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
+                  pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line):
+    """Encode the merged primitive table into per-slot 9-field records and
+    pack them (accel/pack.py docstring for the layout). Runs on host numpy."""
+    T = rows.shape[0]
+    kind = rows[:, 0]
+    data = rows[:, 5].astype(np.int64)
+    factor = 2 if KIND_QUAD in kinds_present else 1
+    S = T * factor
+    fa = np.zeros((S, 9), np.float32)
+    fb = np.zeros((S, 9), np.float32)
+    skind = np.zeros(S, np.int32)
+    smask = np.zeros(S, np.uint32)
+    spid = np.full(S, -1, np.int32)
+    base = np.arange(T, dtype=np.int64) * factor
+
+    def put(sel, off, cols_a, cols_b, tag):
+        idx = base[sel] + off
+        fa[idx] = np.concatenate(cols_a, axis=-1)
+        fb[idx] = np.concatenate(cols_b, axis=-1)
+        skind[idx] = tag
+        smask[idx] = rows[sel, 6].astype(np.uint32)
+        spid[idx] = np.nonzero(sel)[0]
+
+    def pad(n, k):
+        return np.zeros((n, k), np.float32)
+
+    for k in kinds_present:
+        sel = kind == k
+        d = data[sel]
+        n = d.shape[0]
+        if k == KIND_TRIANGLE:
+            put(sel, 0, (tri["v0"][d], tri["v1"][d] - tri["v0"][d],
+                         tri["v2"][d] - tri["v0"][d]),
+                (tri["v0b"][d], tri["v1b"][d] - tri["v0b"][d],
+                 tri["v2b"][d] - tri["v0b"][d]), KIND_TRIANGLE)
+        elif k == KIND_QUAD:
+            qa, qb = quad["v"][d], quad["vb"][d]        # (n, 4, 3)
+            put(sel, 0, (qa[:, 0], qa[:, 1] - qa[:, 0], qa[:, 3] - qa[:, 0]),
+                (qb[:, 0], qb[:, 1] - qb[:, 0], qb[:, 3] - qb[:, 0]),
+                KIND_TRIANGLE)
+            put(sel, 1, (qa[:, 2], qa[:, 3] - qa[:, 2], qa[:, 1] - qa[:, 2]),
+                (qb[:, 2], qb[:, 3] - qb[:, 2], qb[:, 1] - qb[:, 2]),
+                KIND_TRIANGLE)
+        elif k in (KIND_SPHERE, KIND_DISC):
+            put(sel, 0, (pnt_c[d], pnt_r[d][:, None], pad(n, 5)),
+                (pnt_cb[d], pnt_rb[d][:, None], pad(n, 5)), k)
+        elif k == KIND_ORIENTED_DISC:
+            put(sel, 0, (pnt_c[d], pnt_r[d][:, None], pnt_n[d], pad(n, 2)),
+                (pnt_cb[d], pnt_rb[d][:, None], pnt_nb[d], pad(n, 2)), k)
+        elif k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
+            put(sel, 0, (line["p0"][d], line["r0"][d][:, None],
+                         line["p1"][d], line["r1"][d][:, None], pad(n, 1)),
+                (line["p0b"][d], line["r0b"][d][:, None],
+                 line["p1b"][d], line["r1b"][d][:, None], pad(n, 1)), k)
+
+    classes = tuple(sorted({int(t) for t in np.unique(skind[spid >= 0])}))
+    has_kinds = classes != (KIND_TRIANGLE,)
+    has_mask = bool(np.any(rows[:, 6] != 0xFFFFFFFF))
+    return pack(bvh8, n_wide, fa, fb, skind, smask, spid,
+                slot_factor=factor, has_mask=has_mask, has_motion=has_motion,
+                has_kinds=has_kinds, kind_classes=classes)
 
 
 def _native_build_enabled(n_prims: int) -> bool:
@@ -678,7 +791,8 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         if k == KIND_DISC:
             return point_ops.intersect_disc(org, dir, c, r, tnear, tfar)
         return point_ops.intersect_oriented_disc(
-            org, dir, c, r, scene.pnt_n[i], tnear, tfar)
+            org, dir, c, r, lerp(scene.pnt_n[i], scene.pnt_nb[i]),
+            tnear, tfar)
     if k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
         i = jnp.clip(didx, 0, max(scene.line_p0.shape[0] - 1, 0))
         p0 = lerp(scene.line_p0[i], scene.line_p0b[i])
@@ -691,11 +805,14 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         # map sub-segment param into curve-global u
         u = scene.line_u0[i] * (1 - s) + scene.line_u1[i] * s
         return hit, t, u, v, ng
-    if k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND):
+    if k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND, KIND_CURVE_ORIENTED):
         i = jnp.clip(didx, 0, max(scene.curve_cp.shape[0] - 1, 0))
         cp = lerp(scene.curve_cp[i], scene.curve_cpb[i])
         if k == KIND_CURVE_FLAT:
             return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar)
+        if k == KIND_CURVE_ORIENTED:
+            ncp = lerp(scene.curve_n[i], scene.curve_nb[i])
+            return curve_ops.intersect_oriented(org, dir, cp, ncp, tnear, tfar)
         return curve_ops.intersect_sweep(org, dir, cp, tnear, tfar)
     if k == KIND_USER:
         hit = jnp.zeros(tnear.shape, bool)
@@ -756,7 +873,8 @@ def _use_pallas(scene: CommittedScene, backend: Optional[str]) -> bool:
     if backend == "pallas":
         return True
     # auto: compiled Pallas kernel on TPU only, and only for scenes the
-    # packed table supports (triangles, no filters, no motion)
+    # packed table supports (tri/quad/point/line kinds incl. 2-step motion
+    # and masks; filters and user callbacks force the composable jnp engine)
     return scene.packed is not None and jax.devices()[0].platform != "cpu"
 
 
@@ -767,7 +885,8 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
         _, best = trav_pallas.traverse_packed(
             scene.packed, flat.org, flat.dir, flat.tnear, flat.tfar,
             flat.mask.astype(jnp.int32), occlusion=occlusion,
-            interpret=PALLAS_INTERPRET, robust=scene.robust)
+            interpret=PALLAS_INTERPRET, robust=scene.robust,
+            time=flat.time)
         return best
     result = trav_mod.traverse(
         scene.bvh, _make_prim_test(scene, flat),

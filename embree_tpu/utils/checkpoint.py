@@ -30,8 +30,9 @@ def save_scene(path: str, scene: CommittedScene):
     meta = dict(kinds_present=list(kinds_present), has_motion=bool(has_motion),
                 robust=bool(robust),
                 n_leaves=len(flat), has_packed=scene.packed is not None,
-                packed_has_mask=bool(scene.packed.has_mask)
-                if scene.packed is not None else False)
+                packed_aux=list(scene.packed.tree_flatten()[1][:3])
+                + [list(scene.packed.kind_classes)]
+                if scene.packed is not None else None)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
     # keep treedef structure implicitly: CommittedScene has a fixed layout
 
@@ -41,15 +42,16 @@ def load_scene(path: str) -> CommittedScene:
     meta = json.loads(str(data["__meta__"]))
     flat = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
     # rebuild the children tuple with the same static structure used by flatten
-    ref_treedef = _scene_treedef(meta["has_packed"],
-                                 meta.get("packed_has_mask", False))
+    pa = meta.get("packed_aux")
+    packed_aux = (pa[0], pa[1], pa[2], tuple(pa[3])) if pa else None
+    ref_treedef = _scene_treedef(meta["has_packed"], packed_aux)
     children = jax.tree.unflatten(ref_treedef, flat)
     aux = (tuple(meta["kinds_present"]), bool(meta["has_motion"]), (), (),
            bool(meta.get("robust", False)))
     return CommittedScene.tree_unflatten(aux, children)
 
 
-def _scene_treedef(has_packed: bool, packed_has_mask: bool = False):
+def _scene_treedef(has_packed: bool, packed_aux=None):
     """Treedef of CommittedScene children (BVH is a nested pytree; packed may
     be None — normalized to PackedScene-with-table in save)."""
     import jax.numpy as jnp
@@ -62,7 +64,8 @@ def _scene_treedef(has_packed: bool, packed_has_mask: bool = False):
             dummy_children.append(BVH(z, z, z, z))
         elif f == "packed":
             dummy_children.append(
-                PackedScene(z, z, z, packed_has_mask)
+                PackedScene(z, z, z, *(packed_aux or (False, False, False,
+                                                      (0,))))
                 if has_packed else None)
         else:
             dummy_children.append(z)

@@ -40,17 +40,24 @@ def _ints(node):
     return _nums(node).astype(np.int32)
 
 
-def _positions(elem, comps):
-    """Read <positions> (static) or <animated_positions> (2 time steps).
-    Returns (n, comps) or (2, n, comps)."""
-    anim = elem.find("animated_positions")
+def _buffer(elem, tag, comps):
+    """Read <tag> (static) or <animated_tag> (2 time steps).
+    Returns (n, comps), (2, n, comps), or None if absent."""
+    anim = elem.find("animated_" + tag)
     if anim is not None:
-        steps = [c for c in anim if c.tag in ("positions", "positions2")]
+        steps = [c for c in anim if c.tag in (tag, tag + "2")]
         arrs = [_nums(c).reshape(-1, comps) for c in steps[:2]]
         if len(arrs) == 1:
             arrs.append(arrs[0])
         return np.stack(arrs)
-    return _nums(elem.find("positions")).reshape(-1, comps)
+    node = elem.find(tag)
+    if node is None:
+        return None
+    return _nums(node).reshape(-1, comps)
+
+
+def _positions(elem, comps):
+    return _buffer(elem, "positions", comps)
 
 
 def _apply_xfm(xfm, pts, w=1.0):
@@ -153,13 +160,14 @@ def _add_geometry(out: XMLScene, elem, xfm):
             out.geometries.append(LineSegmentsGeometry(
                 pos, idx, kind="round" if ctype == "round" else "flat"))
         else:
-            tangents = elem.find("tangents")
-            tan = _nums(tangents).reshape(-1, 4) if tangents is not None else None
-            normals = elem.find("normals")
+            tan = _buffer(elem, "tangents", 4)
+            nrm = _buffer(elem, "normals", 3)
+            if nrm is not None and xfm is not None:
+                nrm = _apply_xfm(xfm, nrm, w=0.0)
             kind = {"flat": "flat", "ribbon": "flat", "round": "round",
-                    "surface": "round", "normal_oriented": "flat"}[ctype]
+                    "surface": "round", "normal_oriented": "oriented"}[ctype]
             out.geometries.append(CurveGeometry(
-                pos, idx, basis=basis, kind=kind, tangents=tan))
+                pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm))
     elif tag in ("LineSegments", "RoundLineSegments", "ConeSegments"):
         pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
@@ -168,12 +176,9 @@ def _add_geometry(out: XMLScene, elem, xfm):
     elif tag == "Points":
         ptype = elem.get("type", "sphere")
         pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
-        normals = elem.find("normals")
-        nrm = None
-        if normals is not None:
-            nrm = _nums(normals).reshape(-1, 3)
-            if xfm is not None:
-                nrm = _apply_xfm(xfm, nrm, w=0.0)
+        nrm = _buffer(elem, "normals", 3)
+        if nrm is not None and xfm is not None:
+            nrm = _apply_xfm(xfm, nrm, w=0.0)
         kind = {"sphere": "sphere", "disc": "disc",
                 "oriented": "oriented_disc",
                 "oriented_disc": "oriented_disc"}[ptype]

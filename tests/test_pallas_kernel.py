@@ -66,6 +66,62 @@ def test_non_multiple_of_128_rays():
     np.testing.assert_array_equal(np.asarray(h_p.valid), np.asarray(h_j.valid))
 
 
+def _mixed_scene(motion=False):
+    """Triangles + quads + all point kinds + both line kinds in one scene —
+    the full packed-palette coverage (VERDICT task 3)."""
+    rng = np.random.default_rng(7)
+    s = et.Scene()
+    verts, idx = make_sphere_mesh(6, 8)
+    if motion:
+        verts = np.stack([verts, verts + np.array([0.1, 0, 0], np.float32)])
+    s.attach(et.TriangleGeometry(jnp.asarray(verts), jnp.asarray(idx)))
+    qv = np.array([[-2, -2, -1], [2, -2, -1], [2, 2, -1], [-2, 2, -1]],
+                  np.float32)
+    s.attach(et.QuadGeometry(qv, np.array([[0, 1, 2, 3]], np.int32)))
+    pts = np.concatenate([rng.uniform(-1.5, 1.5, (6, 3)),
+                          rng.uniform(0.2, 0.4, (6, 1))], 1).astype(np.float32)
+    s.attach(et.PointGeometry(pts[:2], kind="sphere"))
+    s.attach(et.PointGeometry(pts[2:4], kind="disc"))
+    s.attach(et.PointGeometry(pts[4:6], kind="oriented_disc",
+                              normals=np.eye(3, dtype=np.float32)[:2]))
+    lv = np.concatenate([rng.uniform(-1.5, 1.5, (4, 3)),
+                         rng.uniform(0.1, 0.3, (4, 1))], 1).astype(np.float32)
+    s.attach(et.LineSegmentsGeometry(lv, np.array([0, 2], np.int32),
+                                     kind="round"))
+    s.attach(et.LineSegmentsGeometry(lv + 0.5, np.array([0, 2], np.int32),
+                                     kind="flat"))
+    return s.commit()
+
+
+def test_mixed_kind_scene_matches_jnp():
+    cs = _mixed_scene()
+    assert cs.packed is not None and cs.packed.has_kinds
+    rays = random_rays(jax.random.PRNGKey(8), 256)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m = np.asarray(h_j.valid)
+    np.testing.assert_array_equal(np.asarray(h_p.valid), m)
+    np.testing.assert_allclose(np.asarray(h_p.t)[m], np.asarray(h_j.t)[m],
+                               rtol=1e-4)
+    same = np.asarray(h_p.prim_id)[m] == np.asarray(h_j.prim_id)[m]
+    assert same.mean() > 0.95
+
+
+def test_motion_scene_matches_jnp():
+    cs = _mixed_scene(motion=True)
+    assert cs.packed is not None and cs.packed.has_motion
+    rays = random_rays(jax.random.PRNGKey(9), 256)
+    rays = et.RayBatch(org=rays.org, dir=rays.dir, tnear=rays.tnear,
+                       tfar=rays.tfar,
+                       time=jnp.linspace(0.0, 1.0, 256), mask=rays.mask)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m = np.asarray(h_j.valid)
+    np.testing.assert_array_equal(np.asarray(h_p.valid), m)
+    np.testing.assert_allclose(np.asarray(h_p.t)[m], np.asarray(h_j.t)[m],
+                               rtol=1e-4)
+
+
 def test_streamed_tables_match_resident():
     """HBM-streamed tables (node + leaf DMA staging) must agree exactly with
     the VMEM-resident specialization — the big-scene path of VERDICT task 1."""
