@@ -27,5 +27,9 @@ from .scene import (
     Scene, CommittedScene, BuildQuality,
     intersect, occluded, intersect_brute,
 )
+from .interpolate import interpolate
+from .builder_api import build_bvh, walk_bvh
+from .tlas import (TwoLevelScene, build_two_level, intersect_two_level,
+                   occluded_two_level, update_transforms)
 
 __version__ = "0.1.0"

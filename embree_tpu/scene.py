@@ -594,6 +594,27 @@ class _Merger:
 
         # ---------------- build (or refit) on host CPU backend ----------------
         cpu = jax.local_devices(backend="cpu")[0]
+        # HIGH quality: spatial pre-splitting with a replication budget —
+        # the reference's spatial-split tier (primrefgen_presplit.h:231,
+        # max_spatial_split_replications state.h:117). Exact triangle
+        # clipping for static triangles; conservative AABB halving otherwise.
+        ref_ids = None
+        if quality == BuildQuality.HIGH and refit_from is None and T >= 8:
+            from .accel.presplit import presplit
+            tri_sel = ((kind == KIND_TRIANGLE) if not self.has_motion
+                       else np.zeros(T, bool))
+            tv = np.zeros((T, 3, 3), np.float32)
+            tsel = kind == KIND_TRIANGLE
+            d = data[tsel]
+            tv[tsel, 0] = tri["v0"][d]
+            tv[tsel, 1] = tri["v1"][d]
+            tv[tsel, 2] = tri["v2"][d]
+            lo, up, ref_ids = presplit(
+                lo, up, np.arange(T, dtype=np.int32), tri_sel,
+                tv[:, 0], tv[:, 1], tv[:, 2])
+            if ref_ids.shape[0] == T:
+                ref_ids = None          # nothing split
+
         with jax.default_device(cpu):
             lo_d = jax.device_put(lo, cpu)
             up_d = jax.device_put(up, cpu)
@@ -620,6 +641,14 @@ class _Merger:
                 bvh8, n_wide_arr = jax.jit(partial(collapse, width=8))(bvh2)
                 n_wide = int(n_wide_arr)
                 self.last_n_wide = n_wide
+
+            if ref_ids is not None:
+                # remap replicated refs back to merged prim ids (duplicated
+                # leaf entries test the same prim twice — harmless)
+                bvh8 = BVH(node_lower=bvh8.node_lower,
+                           node_upper=bvh8.node_upper,
+                           node_child=bvh8.node_child,
+                           prim_order=jnp.asarray(ref_ids)[bvh8.prim_order])
 
             packed = None
             if packable:

@@ -1,0 +1,113 @@
+"""rtcInterpolate + rtcBuildBVH analog APIs (VERDICT missing #8).
+
+Parity targets: InterpolateTrianglesTest (verify.cpp:2042), rtcBuildBVH
+user-callback builds (rtcore_builder.h:53-113, tutorials/bvh_builder),
+bvh_access node walking.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import embree_tpu as et
+
+
+def test_interpolate_triangles():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    g = et.TriangleGeometry(v, np.array([[0, 1, 2]], np.int32))
+    attr = np.array([[1.0, 10], [2.0, 20], [3.0, 30]], np.float32)
+    out = et.interpolate(g, jnp.array([0]), jnp.array([0.25]),
+                         jnp.array([0.5]), attr)
+    # w0=0.25, u=0.25, v=0.5 -> 0.25*1 + 0.25*2 + 0.5*3 = 2.25
+    np.testing.assert_allclose(np.asarray(out)[0], [2.25, 22.5], rtol=1e-6)
+
+
+def test_interpolate_matches_hit():
+    """Interpolating positions at a hit reproduces the hit point."""
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(12, 3)).astype(np.float32)
+    idx = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]], np.int32)
+    g = et.TriangleGeometry(v, idx)
+    s = et.Scene()
+    s.attach(g)
+    cs = s.commit()
+    rays = et.make_rays(jnp.asarray(rng.normal(size=(64, 3)) * 3),
+                        jnp.asarray(rng.normal(size=(64, 3))))
+    h = jax.jit(et.intersect)(cs, rays)
+    m = np.asarray(h.valid)
+    if m.any():
+        p_interp = et.interpolate(g, h.prim_id, h.u, h.v, v)
+        p_hit = rays.org + rays.dir * h.t[..., None]
+        np.testing.assert_allclose(np.asarray(p_interp)[m],
+                                   np.asarray(p_hit)[m], atol=1e-4)
+
+
+def test_interpolate_quad_and_line():
+    qv = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    q = et.QuadGeometry(qv, np.array([[0, 1, 2, 3]], np.int32))
+    attr = np.array([[0.0], [1.0], [2.0], [1.0]], np.float32)
+    out = et.interpolate(q, jnp.array([0]), jnp.array([0.5]),
+                         jnp.array([0.5]), attr)
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0], atol=1e-6)
+
+    lv = np.array([[0, 0, 0, 0.1], [1, 0, 0, 0.1]], np.float32)
+    line = et.LineSegmentsGeometry(lv, np.array([0], np.int32))
+    out = et.interpolate(line, jnp.array([0]), jnp.array([0.25]),
+                         jnp.array([0.0]), np.array([[0.0], [4.0]], np.float32))
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0], atol=1e-6)
+
+
+def test_build_bvh_user_callbacks():
+    rng = np.random.default_rng(1)
+    lo = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    up = lo + rng.uniform(0.01, 1, (500, 3)).astype(np.float32)
+
+    seen = set()
+    stats = {"nodes": 0, "leaves": 0}
+
+    def create_node(n):
+        stats["nodes"] += 1
+        return {"kind": "node", "children": None, "bounds": None}
+
+    def set_node_children(node, kids):
+        node["children"] = kids
+
+    def set_node_bounds(node, kl, ku):
+        node["bounds"] = (kl, ku)
+
+    def create_leaf(ids, bl, bu):
+        stats["leaves"] += 1
+        seen.update(int(i) for i in ids)
+        return {"kind": "leaf", "ids": list(ids), "lo": bl, "up": bu}
+
+    root = et.build_bvh(lo, up, create_node=create_node,
+                        set_node_children=set_node_children,
+                        set_node_bounds=set_node_bounds,
+                        create_leaf=create_leaf, leaf_size=4)
+    assert root["kind"] == "node"
+    # every primitive reaches exactly one leaf
+    assert seen == set(range(500))
+    assert stats["leaves"] >= 500 // 15
+
+    # user-tree containment: every leaf bound inside its recorded child bound
+    def check(node):
+        if node["kind"] == "leaf":
+            return
+        kl, ku = node["bounds"]
+        for kid, bl, bu in zip(node["children"], kl, ku):
+            if kid["kind"] == "leaf":
+                assert (kid["lo"] >= bl - 1e-4).all()
+                assert (kid["up"] <= bu + 1e-4).all()
+            check(kid)
+    check(root)
+
+
+def test_walk_bvh_visits_all_prims():
+    verts = np.random.default_rng(2).normal(size=(30, 3)).astype(np.float32)
+    idx = np.arange(30, dtype=np.int32).reshape(10, 3)
+    s = et.Scene()
+    s.attach(et.TriangleGeometry(verts, idx))
+    cs = s.commit()
+    got = []
+    et.walk_bvh(cs.bvh, lambda nid, d, lo, up: None,
+                lambda prims, d: got.extend(int(p) for p in prims))
+    assert sorted(got) == list(range(10))

@@ -99,3 +99,42 @@ def test_low_quality_scene_query_equivalence():
     h_bvh = jax.jit(et.intersect)(cs, rays)
     h_ref = jax.jit(et.intersect_brute)(cs, rays)
     np.testing.assert_array_equal(np.asarray(h_bvh.valid), np.asarray(h_ref.valid))
+
+
+def test_high_quality_spatial_splits_lower_sah():
+    """BuildQuality.HIGH must no longer alias MEDIUM: on long thin diagonal
+    triangles, pre-splitting (primrefgen_presplit.h role) must lower SAH cost
+    while keeping hits identical (VERDICT task 8)."""
+    import embree_tpu as et
+    from embree_tpu.accel.bvh import sah_cost
+    rng = np.random.default_rng(9)
+    n = 256
+    starts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    # long diagonal spaghetti: worst case for object splits
+    dirs = np.tile(np.array([[1.0, 1.0, 1.0]], np.float32), (n, 1))
+    v0 = starts
+    v1 = starts + dirs * 4.0
+    v2 = starts + dirs * 4.0 + rng.uniform(0.01, 0.02, (n, 3)).astype(np.float32)
+    verts = np.concatenate([v0, v1, v2])
+    idx = np.stack([np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n],
+                   axis=1).astype(np.int32)
+
+    s_med = et.Scene(quality=et.BuildQuality.MEDIUM)
+    s_med.attach(et.TriangleGeometry(verts, idx))
+    cs_med = s_med.commit()
+    s_high = et.Scene(quality=et.BuildQuality.HIGH)
+    s_high.attach(et.TriangleGeometry(verts, idx))
+    cs_high = s_high.commit()
+
+    c_med = float(sah_cost(cs_med.bvh))
+    c_high = float(sah_cost(cs_high.bvh))
+    assert c_high < 0.9 * c_med, f"HIGH {c_high} !< 0.9 * MEDIUM {c_med}"
+
+    from test_bvh import random_rays
+    rays = random_rays(jax.random.PRNGKey(12), 512)
+    h_m = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs_med, rays)
+    h_h = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs_high, rays)
+    np.testing.assert_array_equal(np.asarray(h_h.valid), np.asarray(h_m.valid))
+    m = np.asarray(h_m.valid)
+    np.testing.assert_allclose(np.asarray(h_h.t)[m], np.asarray(h_m.t)[m],
+                               rtol=1e-5)
