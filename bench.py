@@ -52,7 +52,10 @@ def main():
     d = rng.normal(size=(n_rays, 3)).astype(np.float32)
     rays = et.make_rays(jnp.asarray(org), jnp.asarray(d))
 
-    run = jax.jit(lambda cs, rays: et.intersect(cs, rays).t)
+    # differentiable=False: the apples-to-apples configuration vs the
+    # reference (rtcIntersect1 fills t/u/v/Ng/ids and has no gradient path)
+    run = jax.jit(lambda cs, rays: et.intersect(
+        cs, rays, differentiable=False).t)
     t = jax.block_until_ready(run(cs, rays))  # compile
     times = []
     for _ in range(3):

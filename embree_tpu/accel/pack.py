@@ -73,11 +73,13 @@ class PackedScene:
     has_motion: bool = False   # static: leaf records carry B-step fields
     has_kinds: bool = False    # static: leaf records carry a kind-tag chunk
     kind_classes: tuple = (0,)  # static: which kind tags occur
+    tri_attrs: bool = False    # static: pure-triangle scene (no quad slots):
+    #                            kernel can emit exact u/v/Ng hit attributes
 
     def tree_flatten(self):
         return ((self.node_table, self.leaf_table, self.pid_map),
                 (self.has_mask, self.has_motion, self.has_kinds,
-                 self.kind_classes))
+                 self.kind_classes, self.tri_attrs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -214,4 +216,6 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     return PackedScene(node_table=node_table, leaf_table=leaf_table,
                        pid_map=pid_map, has_mask=has_mask,
                        has_motion=has_motion, has_kinds=has_kinds,
-                       kind_classes=tuple(kind_classes))
+                       kind_classes=tuple(kind_classes),
+                       tri_attrs=(tuple(kind_classes) == (0,)
+                                  and slot_factor == 1))

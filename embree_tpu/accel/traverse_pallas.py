@@ -55,6 +55,8 @@ LANE = 128
 UGRP = 16                # independent 128-ray groups interleaved per program
 ROWS = UGRP * 8
 STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
+STACK_HOT = 2            # stack blocks always touched; deeper ones gated
+UNROLL = 2               # traversal steps per while-loop iteration
 MAX_STEPS = 200_000      # runaway guard
 
 # Residency policy (v5e: 128 MiB VMEM/core). Tables within the budget stay
@@ -80,12 +82,13 @@ def _f32(x):
 
 def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             mask_ref, time_ref,
-            out_t_ref, out_prim_ref, out_steps_ref,
+            out_t_ref, out_prim_ref, out_steps_ref, out_attr_ref,
             stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
-            need_ref, ray_ref, nbuf_ref, lbuf_ref, *rest,
+            need_ref, pacc_ref, msp_ref, ray_ref, nbuf_ref, lbuf_ref,
+            attr_ref, *rest,
             GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
             robust=False, has_motion=False, has_kinds=False,
-            kind_classes=(0,)):
+            kind_classes=(0,), want_attrs=False):
     # leaf chunk layout (pack.py): fields A | [fields B] | [mask] | [kind]
     CH_MASK = N_FIELDS * (2 if has_motion else 1)
     CH_KIND = CH_MASK + (1 if has_mask else 0)
@@ -235,8 +238,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             lambda s: s[0] < Gp, body, (g0, jnp.int32(0)))
         return need8, trips
 
-    def body(state):
-        it, _, ntrips, ltrips, ovf = state
+    def step(ntrips, ltrips):
         act8 = act_ref[:] > 0
         cur8 = cur_ref[:]
         sp8 = sp_ref[:]
@@ -249,10 +251,6 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
         at_node8 = act8 & (cur8 >= 0)
         at_leaf8 = act8 & (cur8 < 0)
-        # stack blocks live in [0, bsup): bound by the deepest stack across
-        # all groups (+7 for this step's pushes). ONE scalar reduction per
-        # step; typical depth <= 16 so the loop visits 2-3 of the 8 blocks.
-        bsup = jnp.minimum(jnp.max(sp8) + 14, 8 * STACK_BLOCKS) // 8 + 1
         node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
                              jnp.where(at_node8, cur8, 0), at_node8,
                              nstage_ref, ntag_ref, nsem, 0)
@@ -322,6 +320,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 return lbuf_ref[k]
 
         class_results = []   # (kind_tag, valid, t)
+        slot_attrs = None    # (u, v, ngx, ngy, ngz) per slot, pure-tri only
 
         if 0 in kind_classes:      # triangles (quads ride as two tri slots)
             v0x, v0y, v0z = lf(0), lf(1), lf(2)
@@ -351,6 +350,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 tvalid = (((minUVW >= 0.0) | (maxUVW <= 0.0))
                           & (jnp.abs(den) > 1e-30)
                           & (tt0 >= tnear8) & (tt0 <= tf8))
+                if want_attrs:
+                    S = Up + Vp + Wp
+                    rcpS = jnp.where(jnp.abs(S) > 1e-30, 1.0 / S, 0.0)
+                    slot_attrs = (Up * rcpS, Vp * rcpS, ngx, ngy, ngz)
             else:
                 pvx = dy * e2z - dz * e2y
                 pvy = dz * e2x - dx * e2z
@@ -369,6 +372,11 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 tvalid = ((jnp.abs(det) > 1e-24)
                           & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                           & (tt0 >= tnear8) & (tt0 <= tf8))
+                if want_attrs:
+                    slot_attrs = (uu, vv,
+                                  e1y * e2z - e1z * e2y,
+                                  e1z * e2x - e1x * e2z,
+                                  e1x * e2y - e1y * e2x)
             class_results.append((0, tvalid, tt0))
 
         if (2 in kind_classes) or (5 in kind_classes):
@@ -522,17 +530,18 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                           INF_BITS | rowc)
         lminR = jnp.min(lkeyR.reshape(UGRP, 8, LANE), axis=1)   # (U,128)
 
-        # ======== per-group phases: sort, stack, advance (8,128 shuffles) ==
+        # ======== per-group phase: ordered descent + push-image prep ======
+        # The ONLY per-group work left: 16 independent 6-stage bitonic
+        # sorts over (8,128) register tiles (these pipeline as 16 parallel
+        # instruction streams) + the 2-gather push-image alignment. Results
+        # are concatenated back into full-width arrays; stack traffic and
+        # the advance state machine below are tile-parallel.
+        h8 = expand(hR)
+        sp8u_all = sp8
+        sorted_rows = []
+        aligned_rows = []
         for u in range(UGRP):
             sl = slice(8 * u, 8 * u + 8)
-            is_node = node_ok8[8 * u:8 * u + 1]        # (1,128) bool
-            is_leaf = leaf_ok8[8 * u:8 * u + 1]
-            cur = cur8[8 * u:8 * u + 1]
-            sp = sp8[8 * u:8 * u + 1]
-            t_far = tf8[8 * u:8 * u + 1]
-            best = best8[8 * u:8 * u + 1]
-            h = hR[u:u + 1]
-
             # ordered descent: 6-stage bitonic over the 8 (key,ref) rows
             key = keyR[sl]
             ref = crefs[sl]
@@ -546,68 +555,97 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 swap = (key_p < key) == keepmin
                 key = jnp.where(swap, key_p, key)
                 ref = jnp.where(swap, ref_p, ref)
-            next_ref = ref[0:1]
-            h8u = b8(h)
-            sp8u = b8(sp)
-
-            # -------- stack: read blocks once; pop from the pre-push image
-            # (pushing lanes never pop in the same step), merge pushes in --
-            npush = jnp.where(b8(is_node), jnp.maximum(h8u - 1, 0), 0)
+            sorted_rows.append(ref)
+            # push image: stack row image aligned[c] = sorted[h-1-((c-sp)&7)]
+            # (farthest pushed first so the 2nd-nearest ends on top)
+            h8u = h8[sl]
             items = jnp.take_along_axis(ref, jnp.clip(h8u - 1 - row8, 0, 7),
                                         axis=0)
-            aligned = jnp.take_along_axis(items, (row8 - sp8u) & 7, axis=0)
-            new_sp = sp8u + npush
-            top = new_sp - 1
+            aligned_rows.append(jnp.take_along_axis(
+                items, (row8 - sp8u_all[sl]) & 7, axis=0))
+        refS = jnp.concatenate(sorted_rows, axis=0)       # (ROWS,128)
+        alignedR = jnp.concatenate(aligned_rows, axis=0)
 
-            def stack_blk(b, popped, u=u, top=top, sp8u=sp8u, npush=npush,
-                          aligned=aligned):
-                blk = stack_ref[u, pl.ds(8 * b, 8)]
-                localp = top - 8 * b
-                selb = (localp >= 0) & (localp < 8)
-                got = jnp.take_along_axis(blk, jnp.clip(localp, 0, 7), axis=0)
-                popped = jnp.where(selb, got, popped)
-                local = row8 + (8 * b) - sp8u
-                inr = (local >= 0) & (local < npush)
-                stack_ref[u, pl.ds(8 * b, 8)] = jnp.where(inr, aligned, blk)
-                return popped
+        def bbc(x):   # block-reduce a one-hot/row-0 image -> block-broadcast
+            return expand(jnp.sum(x.reshape(UGRP, 8, LANE), axis=1))
 
-            popped = jax.lax.fori_loop(0, bsup, stack_blk, zero8)
+        next8 = expand(refS.reshape(UGRP, 8, LANE)[:, 0, :])
 
-            # -------- leaf result: winning slot + exact t recovery --------
-            lmin = lminR[u:u + 1]                       # (1,128) key bits
-            found = is_leaf & (lmin < INF_BITS)
-            slot = lmin & 7
-            # exact t: re-gather the full-precision bits at the winning slot
-            texact = jnp.take_along_axis(tb[sl], b8(slot), axis=0)[0:1]
-            t_new = _f32(texact)
-            found = found & (t_new < t_far)
-            t_far = jnp.where(found, t_new, t_far)
-            best = jnp.where(found, (-cur - 1) * 8 + slot, best)
+        # ======== stack: tile-parallel static-block push/pop ==============
+        # Stack entry e of group u lives at stack_ref[e//8, 8u + e%8, lane]:
+        # every block is a statically-indexed (ROWS,128) image shared by all
+        # groups. The pop is a one-hot select + block-sum instead of a
+        # dynamic sublane gather; pushes merge via per-element range masks.
+        # Blocks >= STACK_HOT (depth > 16) are gated behind one scalar
+        # branch — rare at typical BVH8 depths. Pop reads the PRE-push image
+        # (pushing lanes never pop in the same step).
+        npush8 = jnp.where(node_ok8, jnp.maximum(h8 - 1, 0), 0)
+        new_sp8 = sp8 + npush8
+        top8 = new_sp8 - 1
+        pacc_ref[:] = zeroR
 
-            # ---------------- advance (stalled lanes keep their state) ----
-            has_next = is_node & (h > 0)
-            need_pop = (is_node | is_leaf) & ~has_next
-            sp_row = new_sp[0:1]
-            do_pop = need_pop & (sp_row > 0)
-            cur = jnp.where(has_next, next_ref,
-                            jnp.where(do_pop, popped[0:1], cur))
-            sp_row = jnp.where(do_pop, sp_row - 1, sp_row)
-            active = has_next | do_pop | stall8[8 * u:8 * u + 1]
-            if occlusion:
-                active = active & (best < 0)
+        def blk_ops(b):
+            blk = stack_ref[b]
+            pm = (top8 - 8 * b) == rowc
+            pacc_ref[:] = pacc_ref[:] + jnp.where(pm, blk, 0)
+            local = rowc + (8 * b) - sp8
+            inr = (local >= 0) & (local < npush8)
+            stack_ref[b] = jnp.where(inr, alignedR, blk)
 
-            # state writes: block-broadcast 8-row registers (aligned)
-            cur_ref[sl] = b8(cur)
-            sp_ref[sl] = b8(sp_row)
-            tf_ref[sl] = b8(t_far)
-            best_ref[sl] = b8(best)
-            act_ref[sl] = b8(jnp.where(active, 1, 0))
+        for b in range(STACK_HOT):
+            blk_ops(b)
+        if STACK_HOT < STACK_BLOCKS:
+            @pl.when(jnp.max(new_sp8) > 8 * STACK_HOT)
+            def _deep():
+                for b in range(STACK_HOT, STACK_BLOCKS):
+                    blk_ops(b)
+        popped8 = bbc(pacc_ref[:])
 
+        # -------- leaf result: winning slot + exact t recovery ------------
+        lmin8 = expand(lminR)
+        slot8 = lmin8 & 7
+        # exact t: one-hot select the winning slot's full-precision bits
+        texact8 = bbc(jnp.where(rowc == slot8, tb, 0))
+        t_new = _f32(texact8)
+        found8 = leaf_ok8 & (lmin8 < INF_BITS) & (t_new < tf8)
+        tf_n = jnp.where(found8, t_new, tf8)
+        best_n = jnp.where(found8, (-cur8 - 1) * 8 + slot8, best8)
+        if want_attrs:
+            # record the winning slot's u/v/Ng alongside the best hit
+            onehot = rowc == slot8
+            for i, a in enumerate(slot_attrs):
+                attr_ref[i] = jnp.where(
+                    found8, bbc(jnp.where(onehot, a, 0.0)), attr_ref[i])
+
+        # ---------------- advance (stalled lanes keep their state) --------
+        has_next8 = node_ok8 & (h8 > 0)
+        need_pop8 = (node_ok8 | leaf_ok8) & ~has_next8
+        do_pop8 = need_pop8 & (new_sp8 > 0)
+        cur_n = jnp.where(has_next8, next8,
+                          jnp.where(do_pop8, popped8, cur8))
+        sp_n = jnp.where(do_pop8, new_sp8 - 1, new_sp8)
+        active8 = has_next8 | do_pop8 | stall8
+        if occlusion:
+            active8 = active8 & (best_n < 0)
+
+        cur_ref[:] = cur_n
+        sp_ref[:] = sp_n
+        tf_ref[:] = tf_n
+        best_ref[:] = best_n
+        act_ref[:] = jnp.where(active8, 1, 0)
+        # stack-overflow surveillance: reduced to one count after the loop
+        # (must stay 0 — bvh.h:71 analog)
+        msp_ref[:] = jnp.maximum(msp_ref[:], new_sp8)
+        return ntrips + nt, ltrips + lt
+
+    def body(state):
+        it, _, ntrips, ltrips = state
+        # UNROLL steps per while iteration amortize the loop fixed costs
+        # (cond reduction + scalar round-trip); inactive lanes no-op.
+        for _ in range(UNROLL):
+            ntrips, ltrips = step(ntrips, ltrips)
         n_active = jnp.sum(act_ref[:])
-        # stack-overflow surveillance: lanes whose post-push pointer exceeds
-        # capacity dropped pushes this step (must stay 0 — bvh.h:71 analog)
-        ovf_now = jnp.sum(jnp.where(sp_ref[:] > 8 * STACK_BLOCKS, 1, 0))
-        return it + 1, n_active, ntrips + nt, ltrips + lt, ovf + ovf_now
+        return it + UNROLL, n_active, ntrips, ltrips
 
     def cond(state):
         return (state[1] > 0) & (state[0] < MAX_STEPS)
@@ -622,13 +660,16 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     sp_ref[:] = zeroR
     tf_ref[:] = zeroR.astype(jnp.float32) + tfar8
     best_ref[:] = zeroR - 1
-    stack_ref[:] = jnp.zeros((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32)
+    msp_ref[:] = zeroR
+    if want_attrs:
+        attr_ref[:] = jnp.zeros((5, ROWS, LANE), jnp.float32)
+    stack_ref[:] = jnp.zeros((STACK_BLOCKS, ROWS, LANE), jnp.int32)
     nbuf_ref[:] = jnp.zeros((4, ROWS, LANE), jnp.int32)
     lbuf_ref[:] = jnp.zeros((LCH, ROWS, LANE), jnp.float32)
 
-    it_final, _, ntrips, ltrips, ovf = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0),
-                     jnp.int32(0)))
+    it_final, _, ntrips, ltrips = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+    ovf = jnp.sum(jnp.where(msp_ref[:] > 8 * STACK_BLOCKS, 1, 0))
 
     # extract block-broadcast state rows c=0 back to (U,128)
     out_t_ref[0] = tf_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
@@ -644,6 +685,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         out_steps_ref[0, 4:5] = jnp.broadcast_to(dmacnt_ref[1], (1, LANE))
     # row 5: stack-overflow lane-steps (must be 0)
     out_steps_ref[0, 5:6] = jnp.broadcast_to(ovf, (1, LANE))
+    if want_attrs:
+        for i in range(5):
+            out_attr_ref[0, i] = attr_ref[i].reshape(
+                UGRP, 8, LANE)[:, 0, :]
 
 
 def _coherence_key(org, dir):
@@ -664,19 +709,32 @@ def _coherence_key(org, dir):
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                     occlusion: bool = False, interpret: bool = False,
                     sort_rays: bool = True, robust: bool = False,
-                    time=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    time=None, want_attrs: bool = False,
+                    id_tables=()) -> Tuple[jnp.ndarray, ...]:
     """Trace R rays against a packed scene. Returns (t, best_prim) with
     best_prim = merged prim index, -1 for miss. Inputs are flat (R,3)/(R,).
 
     sort_rays: reorder rays by a coherence key so each program touches few
     table tiles (fetch gating); results are returned in original order.
     time: (R,) ray times for 2-step motion scenes (ignored otherwise).
+
+    want_attrs: for pure-triangle scenes (packed.tri_attrs) the kernel also
+    emits the winning hit's exact u/v/Ng, and this returns
+    (t, best_prim, attrs) with attrs = dict(u, v, ng (R,3), ids tuple) —
+    the fast non-differentiable hit path that skips the re-intersection
+    gathers entirely. id_tables: per-merged-prim 1D arrays to gather by
+    best_prim and carry through the single unsorting pass (misses gather
+    entry 0 — mask by best_prim >= 0). For non-tri_attrs scenes attrs
+    is None and callers fall back to re-intersection.
     """
     R = org.shape[0]
     if time is None:
         time = jnp.zeros(R, jnp.float32)
     ridx = None
     if sort_rays and R > LANE:
+        # multi-operand sort: carrying all ray fields as sort operands beats
+        # a 2-operand key/index sort + jnp.take gathers ~1.5x on 1M rays
+        # (TPU sorts vectorize across lanes; arbitrary gathers do not)
         key = _coherence_key(org, dir)
         idx0 = jnp.arange(R, dtype=jnp.int32)
         (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, time,
@@ -726,8 +784,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     # device main memory, never by on-chip SRAM. ---
     node_bytes = GN * 32 * LANE * 4
     leaf_bytes = GL * lrows * LANE * 4
-    scratch_bytes = (UGRP * 8 * STACK_BLOCKS * LANE * 4
-                     + (6 + NR + 4 + LCH) * ROWS * LANE * 4)
+    scratch_bytes = (STACK_BLOCKS * ROWS * LANE * 4
+                     + (8 + NR + 4 + LCH) * ROWS * LANE * 4)
     budget = VMEM_RESIDENT_BUDGET - scratch_bytes
     stream_leaves = node_bytes + leaf_bytes > budget
     # leaves stream first (they are ~3x larger and touched once per visit);
@@ -739,11 +797,13 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
                      VMEM_HARD_LIMIT)
 
+    emit_attrs = want_attrs and packed.tri_attrs
     kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
                                has_mask=has_mask, stream_nodes=stream_nodes,
                                stream_leaves=stream_leaves, robust=robust,
                                has_motion=has_motion, has_kinds=has_kinds,
-                               kind_classes=kind_classes)
+                               kind_classes=kind_classes,
+                               want_attrs=emit_attrs)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -763,13 +823,15 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                              memory_space=pltpu.VMEM)
 
     scratch = [
-        pltpu.VMEM((UGRP, 8 * STACK_BLOCKS, LANE), jnp.int32),  # stacks
+        pltpu.VMEM((STACK_BLOCKS, ROWS, LANE), jnp.int32),  # stacks
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # cur
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # sp
         pltpu.VMEM((ROWS, LANE), jnp.float32),      # t_far
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # best
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # active
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # fetch outstanding
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # pop accumulator
+        pltpu.VMEM((ROWS, LANE), jnp.int32),        # max sp watermark
         pltpu.VMEM((NR, ROWS, LANE), jnp.float32),  # expanded ray const
         pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
         pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
@@ -786,17 +848,25 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         scratch += [pltpu.SMEM((UGRP,), jnp.int32),   # DMA-started flags
                     pltpu.SMEM((2,), jnp.int32)]      # DMA miss counters
 
-    t_out, prim_out, steps_out = pl.pallas_call(
+    nattr = 5 if emit_attrs else 1
+    attr_spec = pl.BlockSpec((1, nattr, UGRP, LANE), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # attr scratch slots in after lbuf (kernel signature order)
+    scratch = scratch[:12] + \
+        [pltpu.VMEM((nattr, ROWS, LANE), jnp.float32)] + scratch[12:]
+
+    t_out, prim_out, steps_out, attr_out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[nspec, lspec,
                   ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
                   ray_spec],
-        out_specs=[ray_spec, ray_spec, ray_spec],
+        out_specs=[ray_spec, ray_spec, ray_spec, attr_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.float32),
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
             jax.ShapeDtypeStruct((B, UGRP, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, nattr, UGRP, LANE), jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
@@ -810,7 +880,28 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     # implicit leaf slot -> original prim id
     prim_flat = jnp.where(enc_flat >= 0,
                           packed.pid_map[jnp.clip(enc_flat, 0, None)], -1)
+    if not want_attrs:
+        if ridx is not None:
+            _, t_flat, prim_flat = jax.lax.sort(
+                (ridx, t_flat, prim_flat), num_keys=1)
+        return t_flat, prim_flat
+    if not emit_attrs:
+        if ridx is not None:
+            _, t_flat, prim_flat = jax.lax.sort(
+                (ridx, t_flat, prim_flat), num_keys=1)
+        return t_flat, prim_flat, None
+    # fast hit path: gather ids while still in sorted order (small-table
+    # gathers), then restore original ray order for EVERYTHING in one
+    # multi-operand sorting pass (cheaper than per-field jnp.take)
+    av = [attr_out[:, i].reshape(B * PROG)[:R] for i in range(5)]
+    pclamp = jnp.clip(prim_flat, 0, None)
+    ids = [jnp.asarray(tab)[pclamp].astype(jnp.int32) for tab in id_tables]
     if ridx is not None:
-        _, t_flat, prim_flat = jax.lax.sort(
-            (ridx, t_flat, prim_flat), num_keys=1)
-    return t_flat, prim_flat
+        res = jax.lax.sort((ridx, t_flat, prim_flat) + tuple(av) + tuple(ids),
+                           num_keys=1)
+        t_flat, prim_flat = res[1], res[2]
+        av = list(res[3:8])
+        ids = list(res[8:])
+    attrs = {"u": av[0], "v": av[1],
+             "ng": jnp.stack(av[2:5], axis=-1), "ids": tuple(ids)}
+    return t_flat, prim_flat, attrs

@@ -925,20 +925,59 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
 
 
 def intersect(scene: CommittedScene, rays: RayBatch,
-              backend: Optional[str] = None) -> HitBatch:
+              backend: Optional[str] = None,
+              differentiable: bool = True) -> HitBatch:
     """Closest-hit query. Returns a HitBatch with the same leading shape as rays.
 
     Differentiable w.r.t. scene geometry and ray org/dir: the traversal loop
     only *selects* the winning primitive (structure treated as constant — the
     correct semantics for interior hits, SURVEY.md §7 hard-part 5); t/u/v/Ng
     are then recomputed differentiably by re-intersecting that primitive.
+
+    differentiable=False skips the differentiable re-intersection: on
+    pure-triangle Pallas scenes the kernel emits exact t/u/v/Ng directly
+    (~2x faster end-to-end; gradients through the returned hit are zero).
+    The reference rtcIntersect1 has no gradient path at all, so this is the
+    apples-to-apples configuration for benchmarks.
     """
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
 
     sg_scene = jax.lax.stop_gradient(scene)
     sg_flat = jax.lax.stop_gradient(flat)
-    best = _traverse_select(sg_scene, sg_flat, occlusion=False, backend=backend)
+
+    if not differentiable and _use_pallas(sg_scene, backend):
+        res = trav_pallas.traverse_packed(
+            sg_scene.packed, sg_flat.org, sg_flat.dir, sg_flat.tnear,
+            sg_flat.tfar, sg_flat.mask.astype(jnp.int32), occlusion=False,
+            interpret=PALLAS_INTERPRET, robust=sg_scene.robust,
+            time=sg_flat.time, want_attrs=True,
+            id_tables=(sg_scene.prim_local, sg_scene.prim_geom)
+            + tuple(sg_scene.prim_inst[:, j]
+                    for j in range(sg_scene.prim_inst.shape[1])))
+        if len(res) == 3 and res[2] is not None:
+            t_k, best, attrs = res
+            found = best >= 0
+            inf = jnp.full_like(t_k, jnp.inf)
+            inst = jnp.stack(attrs["ids"][2:], axis=-1)
+            hit = HitBatch(
+                t=jnp.where(found, t_k, inf),
+                u=jnp.where(found, attrs["u"], 0.0),
+                v=jnp.where(found, attrs["v"], 0.0),
+                ng=jnp.where(found[..., None], attrs["ng"], 0.0),
+                prim_id=jnp.where(found, attrs["ids"][0],
+                                  INVALID_ID).astype(jnp.uint32),
+                geom_id=jnp.where(found, attrs["ids"][1],
+                                  INVALID_ID).astype(jnp.uint32),
+                inst_id=jnp.where(found[..., None], inst,
+                                  INVALID_ID).astype(jnp.uint32),
+            )
+            return jax.tree.map(
+                lambda a: a.reshape(shape + a.shape[1:]), hit)
+        best = res[1]
+    else:
+        best = _traverse_select(sg_scene, sg_flat, occlusion=False,
+                                backend=backend)
 
     hits = _reconstruct_hits(scene, flat, best)
     return jax.tree.map(lambda a: a.reshape(shape + a.shape[1:]), hits)
