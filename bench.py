@@ -64,11 +64,17 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
     mrays = n_rays / best / 1e6
+    # per-machine score DB with regression detection (the verify.cpp:453-517
+    # benchmark-database analog); a regression never lowers the stored bar
+    from embree_tpu.tools.benchdb import record
+    verdict = record("incoherent_rays", mrays, unit="Mrays/s")
     print(json.dumps({
         "metric": "incoherent_rays",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "best": round(verdict["best"], 3),
+        "regression": verdict["regression"],
     }))
 
 

@@ -42,16 +42,30 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def _global_put(x, mesh: Mesh, spec: P):
+    """Place a host value under a (possibly multi-process) mesh sharding.
+
+    Single process: plain device_put. Multi-process: every process holds
+    the full value and contributes only its addressable shards
+    (make_array_from_callback) — no cross-host transfers needed, matching
+    the per-host-deterministic-build model."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    h = np.asarray(x)
+    return jax.make_array_from_callback(h.shape, sharding,
+                                        lambda idx: h[idx])
+
+
 def replicate(tree, mesh: Mesh):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    return jax.tree.map(lambda x: _global_put(x, mesh, P()), tree)
 
 
 def shard_rays(rays: RayBatch, mesh: Mesh, axis: str = "rays") -> RayBatch:
     """Place a flat RayBatch with its leading dim sharded across the mesh."""
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _global_put(x, mesh, spec)
     return jax.tree.map(put, rays)
 
 

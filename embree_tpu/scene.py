@@ -685,7 +685,9 @@ class _Merger:
             user_fns=tuple(self.user_fns),
             robust=robust,
         )
-        default = jax.devices()[0]
+        # local_devices: under multi-process jax.distributed, devices()[0]
+        # may belong to another process (non-addressable)
+        default = jax.local_devices()[0]
         arrays = jax.device_put(
             tuple(getattr(cs, f) for f in CommittedScene._ARRAY_FIELDS), default)
         return CommittedScene.tree_unflatten(
