@@ -57,9 +57,10 @@ N_FIELDS = 9
 
 
 def ltab_rows(has_mask: bool, has_motion: bool = False,
-              has_kinds: bool = False) -> int:
+              has_kinds: bool = False, has_win: bool = False) -> int:
     return 8 * (N_FIELDS * (2 if has_motion else 1)
-                + (1 if has_mask else 0) + (1 if has_kinds else 0))
+                + (1 if has_mask else 0) + (1 if has_kinds else 0)
+                + (2 if has_win else 0))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -75,11 +76,13 @@ class PackedScene:
     kind_classes: tuple = (0,)  # static: which kind tags occur
     tri_attrs: bool = False    # static: pure-triangle scene (no quad slots):
     #                            kernel can emit exact u/v/Ng hit attributes
+    has_win: bool = False      # static: leaf records carry per-slot [t0,t1]
+    #                            time-window chunks (multi-step motion)
 
     def tree_flatten(self):
         return ((self.node_table, self.leaf_table, self.pid_map),
                 (self.has_mask, self.has_motion, self.has_kinds,
-                 self.kind_classes, self.tri_attrs))
+                 self.kind_classes, self.tri_attrs, self.has_win))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -120,7 +123,7 @@ def _bf16_bits_dir(x, toward_pos: bool):
 def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
          slot_mask, slot_pid, slot_factor: int = 1, has_mask: bool = True,
          has_motion: bool = False, has_kinds: bool = False,
-         kind_classes=(0,)) -> PackedScene:
+         kind_classes=(0,), slot_t01=None) -> PackedScene:
     """Pack the first n_wide wide nodes + their leaves into record tables.
 
     slot_* arrays index SLOTS: merged prim p owns slots
@@ -148,9 +151,10 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
         np.where(leaf_mask, -leaf_ids_flat - 1, flat_child)).astype(np.int32)
     packed_ref = jnp.asarray(packed_ref.reshape(n_wide, W))
 
+    has_win = slot_t01 is not None
     GN = max(1, -(-n_wide // LANE))
     GL = max(1, -(-max(n_leaf, 1) // LANE))
-    leaf_rows = ltab_rows(has_mask, has_motion, has_kinds)
+    leaf_rows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
 
     # --- internal records (int32) ---
     internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
@@ -198,6 +202,11 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     if has_kinds:
         k = jnp.where(valid, jnp.asarray(slot_kind).astype(jnp.int32)[slots], 0)
         leaf_cols.append(_f32_bits(k))
+    if has_win:
+        t01 = jnp.asarray(slot_t01, jnp.float32)[slots]       # (n_leaf, 8, 2)
+        # padding slots: window [0,1] (never rejects; fields are inert anyway)
+        leaf_cols.append(jnp.where(valid, t01[..., 0], 0.0))
+        leaf_cols.append(jnp.where(valid, t01[..., 1], 1.0))
     leaf = jnp.concatenate(leaf_cols, axis=1).astype(jnp.float32)
     if n_leaf == 0:
         leaf = jnp.zeros((1, leaf_rows), jnp.float32)
@@ -218,4 +227,5 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
                        has_motion=has_motion, has_kinds=has_kinds,
                        kind_classes=tuple(kind_classes),
                        tri_attrs=(tuple(kind_classes) == (0,)
-                                  and slot_factor == 1))
+                                  and slot_factor == 1),
+                       has_win=has_win)

@@ -88,11 +88,13 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             attr_ref, *rest,
             GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
             robust=False, has_motion=False, has_kinds=False,
-            kind_classes=(0,), want_attrs=False):
-    # leaf chunk layout (pack.py): fields A | [fields B] | [mask] | [kind]
+            kind_classes=(0,), want_attrs=False, has_win=False):
+    # leaf chunk layout (pack.py):
+    # fields A | [fields B] | [mask] | [kind] | [t0 | t1]
     CH_MASK = N_FIELDS * (2 if has_motion else 1)
     CH_KIND = CH_MASK + (1 if has_mask else 0)
-    LCH = CH_KIND + (1 if has_kinds else 0)
+    CH_T0 = CH_KIND + (1 if has_kinds else 0)
+    LCH = CH_T0 + (2 if has_win else 0)
     # expanded-ray scratch rows: org(3) dir(3) rdir(3) tnear | [time] | [mask]
     RAY_TIME = 10
     RAY_MASK = 10 + (1 if has_motion else 0)
@@ -311,10 +313,20 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         # kernels/common/acceln.cpp:44, collapsed into one record test).
         if has_motion:
             time8 = ray_ref[RAY_TIME]
+            if has_win:
+                # time-sliced multi-step motion: lerp weight is the window-
+                # local time; hits outside the slot's window are rejected
+                # below (the MSMBlur itime selection, done per slot)
+                wt0 = lbuf_ref[CH_T0]
+                wt1 = lbuf_ref[CH_T0 + 1]
+                wl8 = jnp.clip((time8 - wt0)
+                               / jnp.maximum(wt1 - wt0, 1e-9), 0.0, 1.0)
+            else:
+                wl8 = time8
 
             def lf(k):
                 a = lbuf_ref[k]
-                return a + time8 * (lbuf_ref[N_FIELDS + k] - a)
+                return a + wl8 * (lbuf_ref[N_FIELDS + k] - a)
         else:
             def lf(k):
                 return lbuf_ref[k]
@@ -521,6 +533,8 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         else:
             _, kvalid, tt = class_results[0]
         kvalid = kvalid & leaf_ok8
+        if has_win:
+            kvalid = kvalid & (time8 >= wt0) & (time8 <= wt1)
         if has_mask:
             kvalid = kvalid & (
                 (_i32(lbuf_ref[CH_MASK]) & _i32(ray_ref[RAY_MASK])) != 0)
@@ -772,10 +786,11 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     has_motion = packed.has_motion
     has_kinds = packed.has_kinds
     kind_classes = packed.kind_classes
+    has_win = packed.has_win
     LCH = (N_FIELDS * (2 if has_motion else 1) + (1 if has_mask else 0)
-           + (1 if has_kinds else 0))
+           + (1 if has_kinds else 0) + (2 if has_win else 0))
     NR = 10 + (1 if has_motion else 0) + (1 if has_mask else 0)
-    lrows = ltab_rows(has_mask, has_motion, has_kinds)
+    lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
 
     # --- residency policy: tables small enough stay pinned in VMEM (zero
     # fetch cost); bigger tables live in HBM and stream through per-group
@@ -803,7 +818,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                                stream_leaves=stream_leaves, robust=robust,
                                has_motion=has_motion, has_kinds=has_kinds,
                                kind_classes=kind_classes,
-                               want_attrs=emit_attrs)
+                               want_attrs=emit_attrs, has_win=has_win)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -36,16 +36,59 @@ KIND_CURVE_ORIENTED = 10  # normal-oriented ruled-surface intersector (native)
 FilterFn = Callable  # (org, dir, t, u, v, ng, prim_id, geom_id) -> bool mask
 
 
-def _split_timesteps(arr, name):
-    """Accept (n, C) static or (2, n, C) 2-step motion buffers.
+MAX_TIME_STEPS = 129   # reference RTC_MAX_TIME_STEP_COUNT (rtcore_common.h:54)
+
+
+def _sample_steps(arr, t):
+    """Evaluate an (S, n, C) piecewise-linear motion buffer at global time
+    t in [0,1] (host numpy; the itime/ftime split of the reference's
+    Geometry::timeSegment). 2-D (static) buffers pass through."""
+    a = np.asarray(arr, np.float32)
+    if a.ndim == 2:
+        return a
+    S = a.shape[0]
+    x = float(t) * (S - 1)
+    k = min(int(np.floor(x)), S - 2)
+    w = np.float32(x - k)
+    if w == 0.0:
+        return a[k]
+    return ((1.0 - w) * a[k] + w * a[k + 1]).astype(np.float32)
+
+
+def _split_timesteps(arr, name, window=(0.0, 1.0)):
+    """Accept (n, C) static or (S, n, C) S-step motion buffers (S in
+    [2, 129], rtcSetGeometryTimeStepCount analog) and return the motion
+    endpoints of the given time window, sampled piecewise-linearly.
 
     All per-timestep buffers are 2-D, so a 3-D array unambiguously means a
-    leading time axis (which must have length 2)."""
+    leading time axis. Multi-step (S > 2) buffers are exact because the
+    scene merger splits prims at every interior knot time first (time-sliced
+    replication — the MSMBlur time-split analog), so each window lies
+    within one linear segment."""
     a = np.asarray(arr, np.float32)
     if a.ndim == 3:
-        assert a.shape[0] == 2, f"{name}: motion buffers need exactly 2 time steps"
-        return a[0], a[1], True
+        S = a.shape[0]
+        assert 2 <= S <= MAX_TIME_STEPS, \
+            f"{name}: motion buffers need 2..{MAX_TIME_STEPS} time steps"
+        return _sample_steps(a, window[0]), _sample_steps(a, window[1]), True
     return a, a, False
+
+
+def motion_knots(arrays, window):
+    """Interior knot times of S-step motion buffers falling strictly inside
+    the window — the prim replication boundaries for time slicing."""
+    ks = set()
+    for a in arrays:
+        if a is None:
+            continue
+        a = np.asarray(a)
+        if a.ndim == 3 and a.shape[0] > 2:
+            S = a.shape[0]
+            for k in range(1, S - 1):
+                t = k / (S - 1)
+                if window[0] < t < window[1]:
+                    ks.add(t)
+    return sorted(ks)
 
 
 @dataclasses.dataclass
@@ -178,15 +221,58 @@ class InstanceGeometry:
     instID, matching instance_intersector.cpp semantics). Real two-level
     TLAS/BLAS traversal with shared BLAS memory arrives with the wavefront
     engine; flattening trades memory for dense single-level traversal.
+
+    transform: (3,4) affine; (S,3,4) S-step motion (linear matrix lerp per
+    segment); or a sequence of core.math.QuaternionDecomposition for
+    quaternion motion blur (rtcSetGeometryTransformQuaternion analog) —
+    resampled onto a refined knot grid at commit, see
+    instance_transform_steps.
     """
     scene: object                # embree_tpu.Scene (uncommitted or committed)
-    transform: object            # (3, 4) affine, or (2, 3, 4) for motion blur
+    transform: object            # see class docstring
     mask: int = 0xFFFFFFFF
     enabled: bool = True
 
     @property
     def num_prims(self):
         return 0  # resolved at commit
+
+
+QUAT_RESAMPLE = 8   # sub-knots per quaternion motion segment
+
+
+def instance_transform_steps(g):
+    """Resolve an instance's transform spec to a (3,4) static affine or an
+    (S,3,4) knot stack of affines.
+
+    Quaternion decompositions (motion_derivative.h role) are slerp-evaluated
+    at QUAT_RESAMPLE sub-knots per segment and linearly interpolated in
+    between — a piecewise-linear approximation of the exact rotational
+    motion with O(1/QUAT_RESAMPLE^2) bound error, which then rides the
+    same time-sliced replication machinery as multi-step vertex motion."""
+    tr = g.transform
+    if isinstance(tr, (list, tuple)) and len(tr) and hasattr(tr[0], "quat"):
+        from .core.math import qd_interpolate
+        L = len(tr)
+        if L == 1:
+            return np.asarray(tr[0].to_affine(), np.float32)
+        q = QUAT_RESAMPLE
+        while (L - 1) * q + 1 > MAX_TIME_STEPS and q > 1:
+            q //= 2
+        mats = []
+        for seg in range(L - 1):
+            for j in range(q):
+                t = j / q
+                mats.append(np.asarray(
+                    qd_interpolate(tr[seg], tr[seg + 1], t).to_affine(),
+                    np.float32))
+        mats.append(np.asarray(tr[-1].to_affine(), np.float32))
+        return np.stack(mats, axis=0)
+    a = np.asarray(tr, np.float32)
+    assert a.ndim in (2, 3), "transform must be (3,4) or (S,3,4)"
+    if a.ndim == 3:
+        assert 2 <= a.shape[0] <= MAX_TIME_STEPS
+    return a
 
 
 @dataclasses.dataclass

@@ -47,9 +47,10 @@ def trace_paths(scene: CommittedScene, mats: MaterialSet, lights: LightSet,
                           Lw * lights.ambient, 0.0)
 
         p = cur_rays.org + cur_rays.dir * hits.t[..., None]
-        n = normalize(hits.ng)
+        ng = normalize(hits.ng)
         wo = -normalize(cur_rays.dir)
-        n = jnp.where(dot(n, wo)[..., None] < 0, -n, n)   # face forward
+        entering = dot(ng, wo) > 0            # outside -> inside transition
+        n = jnp.where(entering[..., None], ng, -ng)   # face forward
 
         # emission at the hit (area lights as emissive geometry)
         L = L + jnp.where(valid[..., None], Lw * emission(mats, hits.geom_id), 0.0)
@@ -57,7 +58,7 @@ def trace_paths(scene: CommittedScene, mats: MaterialSet, lights: LightSet,
         # next-event estimation: one light sample + shadow ray
         k_light, k_brdf = jax.random.split(k)
         wi_l, dist_l, contrib = sample_one(lights, p, k_light)
-        f = eval_brdf(mats, hits.geom_id, n, wo, wi_l)
+        f = eval_brdf(mats, hits.geom_id, n, wo, wi_l, u=hits.u, v=hits.v)
         srays = make_rays(p + n * 1e-3, wi_l, tnear=1e-4,
                           tfar=jnp.where(jnp.isinf(dist_l), 1e30, dist_l - 1e-3),
                           time=cur_rays.time)
@@ -66,11 +67,15 @@ def trace_paths(scene: CommittedScene, mats: MaterialSet, lights: LightSet,
         L = L + jnp.where((valid & ~shadowed & ndotl_ok)[..., None],
                           Lw * f * contrib, 0.0)
 
-        # BRDF sampling -> next ray
-        wi, w = sample_brdf(mats, hits.geom_id, n, wo, k_brdf)
+        # BRDF sampling -> next ray (dielectrics may refract below the
+        # surface: offset along the side wi leaves through)
+        wi, w = sample_brdf(mats, hits.geom_id, n, wo, k_brdf,
+                            entering=entering, u=hits.u, v=hits.v)
         Lw = Lw * jnp.where(valid[..., None], w, 0.0)
         alive = valid & (jnp.max(Lw, axis=-1) > 1e-4)
-        nxt = make_rays(p + n * 1e-3, wi, tnear=1e-4, time=cur_rays.time)
+        side = jnp.where(dot(wi, n) >= 0, 1.0, -1.0)[..., None]
+        nxt = make_rays(p + side * n * 1e-3, wi, tnear=1e-4,
+                        time=cur_rays.time)
         # keep dead rays inert (tfar < tnear)
         nxt = RayBatch(org=nxt.org, dir=nxt.dir, tnear=nxt.tnear,
                        tfar=jnp.where(alive, nxt.tfar, -1.0),

@@ -51,7 +51,8 @@ from .geometry import (
     KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
     CurveGeometry, GridGeometry, InstanceArrayGeometry, InstanceGeometry,
     LineSegmentsGeometry, PointGeometry, QuadGeometry, SubdivisionGeometry,
-    TriangleGeometry, UserGeometry, _split_timesteps)
+    TriangleGeometry, UserGeometry, _sample_steps, _split_timesteps,
+    instance_transform_steps, motion_knots)
 
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
 LEAF_SIZE = 8
@@ -100,9 +101,14 @@ class CommittedScene:
     # user geometry bounds
     user_lo: jnp.ndarray; user_up: jnp.ndarray
     packed: Optional[PackedScene]
+    # per-prim time windows (time-sliced multi-step motion; [0,1] = whole)
+    prim_t0: jnp.ndarray = None   # (T,) float32
+    prim_t1: jnp.ndarray = None   # (T,) float32
     # --- static aux (jit specialization) ---
     kinds_present: Tuple[int, ...] = dataclasses.field(default=(), metadata={"static": True})
     has_motion: bool = dataclasses.field(default=False, metadata={"static": True})
+    # any prim carries a sub-[0,1] window (multi-step / quaternion motion)
+    has_windows: bool = dataclasses.field(default=False, metadata={"static": True})
     filters: Tuple = dataclasses.field(default=(), metadata={"static": True})
     user_fns: Tuple = dataclasses.field(default=(), metadata={"static": True})
     # RTC_SCENE_FLAG_ROBUST analog: widened slab tests + Plücker leaf tests
@@ -216,6 +222,12 @@ class _Merger:
         self.filters = []
         self.user_fns = []
         self.has_motion = False
+        # time-sliced multi-step motion (MSMBlur analog): prims of S-step
+        # geometry are replicated once per linear time segment, each copy
+        # carrying its [t0,t1] validity window and that segment's endpoint
+        # buffers (tight per-segment bounds fall out of the pair tables)
+        self.prim_t01 = []      # per-emit (n, 2) windows
+        self._window = (0.0, 1.0)
 
     def total(self):
         return sum(r.shape[0] for r in self.rows) if self.rows else 0
@@ -232,6 +244,8 @@ class _Merger:
         rows[:, 5] = data_start + np.arange(n)
         rows[:, 6] = mask
         self.rows.append(rows)
+        self.prim_t01.append(
+            np.tile(np.asarray(self._window, np.float32), (n, 1)))
 
     @staticmethod
     def _xf_points(xf, pts):
@@ -248,12 +262,33 @@ class _Merger:
             return 1.0
         return float(abs(np.linalg.det(np.asarray(xf)[:3, :3]))) ** (1.0 / 3.0)
 
+    def _steps(self, arr, name):
+        """Window-endpoint motion pair of a (possibly multi-step) buffer."""
+        return _split_timesteps(arr, name, self._window)
+
+    def _segmented(self, knots, fn):
+        """Run fn once per sub-window of the current window split at the
+        given interior knot times (the time-slice replication driver)."""
+        outer = self._window
+        ts = [outer[0]] + list(knots) + [outer[1]]
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            self._window = (t0, t1)
+            fn()
+        self._window = outer
+
     def add(self, g, gid, inst_stack, inst_mask, xf, xfb=None):
         """Add geometry g (with optional instancing transforms xf / xfb for
-        the two motion time steps)."""
+        the current time window's endpoints)."""
         if isinstance(g, InstanceGeometry):
-            xfs = np.asarray(g.transform, np.float32)
-            xf0, xf1 = (xfs[0], xfs[1]) if xfs.ndim == 3 else (xfs, xfs)
+            xfs = instance_transform_steps(g)
+            knots = motion_knots([xfs if xfs.ndim == 3 else None],
+                                 self._window)
+            if knots:
+                self._segmented(knots, lambda: self.add(
+                    g, gid, inst_stack, inst_mask, xf, xfb))
+                return
+            xf0 = _sample_steps(xfs, self._window[0])
+            xf1 = _sample_steps(xfs, self._window[1])
             self._add_instance_xf(g.scene, gid, inst_stack, g.mask, xf0, xf1)
             return
         if isinstance(g, InstanceArrayGeometry):
@@ -263,15 +298,26 @@ class _Merger:
                                       tfs[k], tfs[k])
             return
 
+        # multi-step (S > 2) motion geometry: replicate per linear segment
+        knots = motion_knots(
+            [getattr(g, a, None)
+             for a in ("vertices", "points", "normals", "tangents")],
+            self._window)
+        if knots:
+            self._segmented(knots, lambda: self.add(
+                g, gid, inst_stack, inst_mask, xf, xfb))
+            return
+
         mask = getattr(g, "mask", 0xFFFFFFFF) & inst_mask
-        if g.filter is not None:
+        if g.filter is not None and not any(
+                gid == fg for fg, _ in self.filters):
             self.filters.append((gid, g.filter))
         if xfb is None:
             xfb = xf
         xf_motion = xf is not None and xfb is not None and not np.array_equal(xf, xfb)
 
         if isinstance(g, TriangleGeometry):
-            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            va, vb, motion = self._steps(g.vertices, "vertices")
             idx = np.asarray(g.indices, np.int32)
             t0 = self._xf_points(xf, va[idx])       # (n, 3, 3)
             t1 = self._xf_points(xfb, vb[idx])
@@ -284,7 +330,7 @@ class _Merger:
                 self.tri[key].append(np.asarray(arr, np.float32))
 
         elif isinstance(g, QuadGeometry):
-            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            va, vb, motion = self._steps(g.vertices, "vertices")
             idx = np.asarray(g.indices, np.int32)
             q0 = self._xf_points(xf, va[idx])
             q1 = self._xf_points(xfb, vb[idx])
@@ -296,7 +342,7 @@ class _Merger:
             self.quad["vb"].append(np.asarray(q1, np.float32))
 
         elif isinstance(g, PointGeometry):
-            pa, pb, motion = _split_timesteps(g.points, "points")
+            pa, pb, motion = self._steps(g.points, "points")
             self.has_motion |= motion or xf_motion
             s = self._xf_scale(xf)
             c0 = self._xf_points(xf, pa[:, :3]); r0 = pa[:, 3] * s
@@ -305,7 +351,7 @@ class _Merger:
             kind = {"sphere": KIND_SPHERE, "disc": KIND_DISC,
                     "oriented_disc": KIND_ORIENTED_DISC}[g.kind]
             if g.normals is not None:
-                nrm, nrmb, nmotion = _split_timesteps(g.normals, "normals")
+                nrm, nrmb, nmotion = self._steps(g.normals, "normals")
                 self.has_motion |= nmotion
             else:
                 nrm = nrmb = np.tile(np.array([[0, 0, 1]], np.float32), (n, 1))
@@ -323,7 +369,7 @@ class _Merger:
             self.pnt["nb"].append(np.asarray(nrmb, np.float32))
 
         elif isinstance(g, LineSegmentsGeometry):
-            va, vb_, motion = _split_timesteps(g.vertices, "vertices")
+            va, vb_, motion = self._steps(g.vertices, "vertices")
             self.has_motion |= motion or xf_motion
             idx = np.asarray(g.indices, np.int32)
             s = self._xf_scale(xf)
@@ -345,11 +391,11 @@ class _Merger:
                 self.line[key].append(np.asarray(arr, np.float32))
 
         elif isinstance(g, CurveGeometry):
-            cps, cpsb, motion = _split_timesteps(g.vertices, "vertices")
+            cps, cpsb, motion = self._steps(g.vertices, "vertices")
             self.has_motion |= motion or xf_motion
             idx = np.asarray(g.indices, np.int32)
             if g.basis == curve_ops.BASIS_HERMITE:
-                tan, tanb, tmotion = _split_timesteps(g.tangents, "tangents")
+                tan, tanb, tmotion = self._steps(g.tangents, "tangents")
                 self.has_motion |= tmotion
                 cp = np.stack([cps[idx], tan[idx], cps[idx + 1], tan[idx + 1]], axis=1)
                 cpb = np.stack([cpsb[idx], tanb[idx], cpsb[idx + 1], tanb[idx + 1]], axis=1)
@@ -380,7 +426,7 @@ class _Merger:
                 # normal spline for oriented curves (all-zero when unused;
                 # reference normal buffer, scene_curves.h oriented types)
                 if g.normals is not None:
-                    nr, nrb, nmotion = _split_timesteps(g.normals, "normals")
+                    nr, nrb, nmotion = self._steps(g.normals, "normals")
                     self.has_motion |= nmotion
                     if g.basis == curve_ops.BASIS_HERMITE:
                         z = np.zeros_like(nr[idx])
@@ -426,7 +472,7 @@ class _Merger:
                 self.line[key].append(np.asarray(arr, np.float32))
 
         elif isinstance(g, GridGeometry):
-            va, vb, motion = _split_timesteps(g.vertices, "vertices")
+            va, vb, motion = self._steps(g.vertices, "vertices")
             self.has_motion |= motion or xf_motion
             grids = np.asarray(g.grids, np.int64)
             q_idx = []
@@ -486,8 +532,11 @@ class _Merger:
             if not getattr(cg, "enabled", True):
                 continue
             if isinstance(cg, InstanceGeometry):
-                sub = np.asarray(cg.transform, np.float32)
-                s0, s1 = (sub[0], sub[1]) if sub.ndim == 3 else (sub, sub)
+                # nested transforms sampled at the current window endpoints
+                # (knot splitting happened at the outer level)
+                sub = instance_transform_steps(cg)
+                s0 = _sample_steps(sub, self._window[0])
+                s1 = _sample_steps(sub, self._window[1])
                 self._add_instance_xf(cg.scene, cgid, inst_stack + (gid,),
                                       mask & cg.mask,
                                       _compose_affine(xf0, s0),
@@ -584,9 +633,18 @@ class _Merger:
 
         kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
 
+        windows = np.concatenate(self.prim_t01, axis=0).astype(np.float32)
+        has_windows = bool((windows[:, 0] != 0.0).any()
+                           or (windows[:, 1] != 1.0).any())
+        if has_windows:
+            # windowed prims are time-varying by construction (degenerate
+            # all-equal steps still ride the motion path: lerp is a no-op)
+            self.has_motion = True
+
         # packed fast-path eligibility: every kind encodable into the 9-field
         # leaf records, no filter/user callbacks (those force the composable
         # jnp engine). Quads expand to two triangle slots -> halved leaf size.
+        # Time-sliced multi-step scenes add per-slot [t0,t1] window chunks.
         packable = (set(kinds_present) <= _PACKED_KINDS
                     and not self.filters and not self.user_fns)
         leaf_size = LEAF_SIZE // (2 if (packable and KIND_QUAD in kinds_present)
@@ -655,7 +713,8 @@ class _Merger:
                 packed = _build_packed(
                     bvh8, n_wide, rows, kinds_present,
                     bool(self.has_motion), tri, quad,
-                    pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line)
+                    pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line,
+                    windows if has_windows else None)
 
         cs = CommittedScene(
             bvh=bvh8,
@@ -679,8 +738,10 @@ class _Merger:
             curve_n=curve_n.reshape(-1, 4, 3), curve_nb=curve_nb.reshape(-1, 4, 3),
             user_lo=user_lo, user_up=user_up,
             packed=packed,
+            prim_t0=windows[:, 0], prim_t1=windows[:, 1],
             kinds_present=kinds_present,
             has_motion=bool(self.has_motion),
+            has_windows=has_windows,
             filters=tuple(self.filters),
             user_fns=tuple(self.user_fns),
             robust=robust,
@@ -699,7 +760,8 @@ _PACKED_KINDS = {KIND_TRIANGLE, KIND_QUAD, KIND_SPHERE, KIND_DISC,
 
 
 def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
-                  pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line):
+                  pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line,
+                  windows=None):
     """Encode the merged primitive table into per-slot 9-field records and
     pack them (accel/pack.py docstring for the layout). Runs on host numpy."""
     T = rows.shape[0]
@@ -757,9 +819,16 @@ def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
     classes = tuple(sorted({int(t) for t in np.unique(skind[spid >= 0])}))
     has_kinds = classes != (KIND_TRIANGLE,)
     has_mask = bool(np.any(rows[:, 6] != 0xFFFFFFFF))
+    slot_t01 = None
+    if windows is not None:
+        # per-slot [t0,t1]: every expansion slot inherits its prim's window
+        slot_t01 = np.zeros((S, 2), np.float32)
+        slot_t01[:, 1] = 1.0
+        slot_t01[np.repeat(base, factor) + np.tile(np.arange(factor), T)] = \
+            np.repeat(windows, factor, axis=0)
     return pack(bvh8, n_wide, fa, fb, skind, smask, spid,
                 slot_factor=factor, has_mask=has_mask, has_motion=has_motion,
-                has_kinds=has_kinds, kind_classes=classes)
+                has_kinds=has_kinds, kind_classes=classes, slot_t01=slot_t01)
 
 
 def _native_build_enabled(n_prims: int) -> bool:
@@ -794,7 +863,10 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
     def lerp(a, b):
         if not scene.has_motion:
             return a
-        w = time.reshape(time.shape + (1,) * (a.ndim - time.ndim))
+        # broadcast time over a's non-ray dims; didx may be scalar (the
+        # brute-force per-prim scan) or per-ray — a's leading ray dims
+        # mirror didx's rank
+        w = time.reshape(time.shape + (1,) * (a.ndim - jnp.ndim(didx)))
         return a * (1 - w) + b * w
 
     if k == KIND_TRIANGLE:
@@ -862,7 +934,29 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
     raise ValueError(f"unknown prim kind {k}")
 
 
-def _apply_filters(scene, accept, prim, org, dir, t, u, v, ng):
+def _run_filter(fn, context, org, dir, t, u, v, ng, prim_local, geom):
+    """Invoke a geometry filter in either calling convention.
+
+    Legacy (8 args): fn(org, dir, t, u, v, ng, prim_id, geom_id) -> keep.
+    Full (9 args, filter.h:15 parity): fn(context, org, dir, t, u, v, ng,
+    prim_id, geom_id) -> (keep, updates) where context is "intersect" or
+    "occluded" (the rtcIntersect/rtcOccluded filter split) and updates is
+    None or a dict that may override the reported hit's "u"/"v"/"ng"
+    (reference filters may modify the hit; modifying t is not supported —
+    it would reorder traversal)."""
+    import inspect
+    try:
+        nargs = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        nargs = 8
+    if nargs >= 9:
+        keep, updates = fn(context, org, dir, t, u, v, ng, prim_local, geom)
+        return keep, updates
+    return fn(org, dir, t, u, v, ng, prim_local, geom), None
+
+
+def _apply_filters(scene, accept, prim, org, dir, t, u, v, ng,
+                   context="intersect"):
     """Run geometry intersection filters (filter.h:15 analog): a filter may
     reject a hit, letting traversal continue past it."""
     if not scene.filters:
@@ -870,30 +964,66 @@ def _apply_filters(scene, accept, prim, org, dir, t, u, v, ng):
     geom = scene.prim_geom[prim]
     for gid, fn in scene.filters:
         applies = geom == jnp.uint32(gid)
-        keep = fn(org, dir, t, u, v, ng, scene.prim_local[prim], geom)
+        keep, _ = _run_filter(fn, context, org, dir, t, u, v, ng,
+                              scene.prim_local[prim], geom)
         accept = jnp.where(applies, accept & keep, accept)
     return accept
 
 
-def _make_prim_test(scene: CommittedScene, rays: RayBatch):
+def _apply_filter_updates(scene, prim, org, dir, t, u, v, ng):
+    """Re-run full-convention filters on the accepted hit and fold in their
+    hit modifications (the reference's filter-may-modify-hit semantics)."""
+    if not scene.filters:
+        return u, v, ng
+    geom = scene.prim_geom[prim]
+    for gid, fn in scene.filters:
+        keep, updates = _run_filter(fn, "intersect", org, dir, t, u, v, ng,
+                                    scene.prim_local[prim], geom)
+        if not updates:
+            continue
+        sel = geom == jnp.uint32(gid)
+        if "u" in updates:
+            u = jnp.where(sel, updates["u"], u)
+        if "v" in updates:
+            v = jnp.where(sel, updates["v"], v)
+        if "ng" in updates:
+            ng = jnp.where(sel[..., None], updates["ng"], ng)
+    return u, v, ng
+
+
+def _local_time(scene: CommittedScene, prim, time):
+    """Map global ray time into a time-sliced prim's window-local [0,1]
+    lerp weight, plus the window membership mask (MSMBlur itime analog)."""
+    if not scene.has_windows:
+        return time, True
+    t0 = scene.prim_t0[prim]
+    t1 = scene.prim_t1[prim]
+    tl = jnp.clip((time - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    return tl, (time >= t0) & (time <= t1)
+
+
+def _make_prim_test(scene: CommittedScene, rays: RayBatch,
+                    context: str = "intersect"):
     def prim_test(prim, valid, org, dir, tnear, tfar):
         kind = scene.prim_kind[prim]
         didx = scene.prim_data[prim]
+        tloc, in_win = _local_time(scene, prim, rays.time)
         hit = jnp.zeros(tnear.shape, bool)
         t = jnp.full_like(tnear, jnp.inf)
         u = jnp.zeros_like(tnear); v = jnp.zeros_like(tnear)
         ng = jnp.zeros(tnear.shape + (3,), jnp.float32)
         for k in scene.kinds_present:
             h, tk, uk, vk, ngk = _kind_test(scene, k, didx, org, dir,
-                                            rays.time, tnear, tfar)
+                                            tloc, tnear, tfar)
             sel = (kind == k)
             hit = jnp.where(sel, h, hit)
             t = jnp.where(sel, tk, t)
             u = jnp.where(sel, uk, u)
             v = jnp.where(sel, vk, v)
             ng = jnp.where(sel[..., None], ngk, ng)
-        hit = hit & ((rays.mask & scene.prim_mask[prim]) != 0)
-        hit = _apply_filters(scene, hit, prim, org, dir, t, u, v, ng)
+        hit = hit & in_win & ((rays.mask & scene.prim_mask[prim]) != 0)
+        hit = _apply_filters(scene, hit, prim, org, dir, t, u, v, ng,
+                             context=context)
         return hit, t
     return prim_test
 
@@ -920,7 +1050,9 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
             time=flat.time)
         return best
     result = trav_mod.traverse(
-        scene.bvh, _make_prim_test(scene, flat),
+        scene.bvh,
+        _make_prim_test(scene, flat,
+                        context="occluded" if occlusion else "intersect"),
         flat.org, flat.dir, flat.tnear, flat.tfar,
         occlusion=occlusion, max_leaf_size=LEAF_SIZE, robust=scene.robust)
     return result.best_prim
@@ -1004,6 +1136,7 @@ def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBa
     prim = jnp.maximum(best_prim, 0)
     kind = scene.prim_kind[prim]
     didx = scene.prim_data[prim]
+    tloc, _ = _local_time(scene, prim, rays.time)
 
     t = jnp.full_like(rays.tnear, jnp.inf)
     u = jnp.zeros_like(rays.tnear); v = jnp.zeros_like(rays.tnear)
@@ -1012,12 +1145,16 @@ def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBa
     wide_far = jnp.full_like(rays.tfar, jnp.inf)
     for k in scene.kinds_present:
         _, tk, uk, vk, ngk = _kind_test(scene, k, didx, rays.org, rays.dir,
-                                        rays.time, wide_near, wide_far)
+                                        tloc, wide_near, wide_far)
         sel = (kind == k)
         t = jnp.where(sel, tk, t)
         u = jnp.where(sel, uk, u)
         v = jnp.where(sel, vk, v)
         ng = jnp.where(sel[..., None], ngk, ng)
+
+    # filters may modify the reported hit (filter.h semantics)
+    u, v, ng = _apply_filter_updates(scene, prim, rays.org, rays.dir,
+                                     t, u, v, ng)
 
     miss = make_miss_hits(rays.shape)
     hit = HitBatch(

@@ -14,27 +14,38 @@ import numpy as np
 
 from ..scene import CommittedScene
 
+# static fields that are python callables and cannot be serialized
+_CALLABLE_FIELDS = ("filters", "user_fns")
+
 
 def save_scene(path: str, scene: CommittedScene):
     """Serialize a CommittedScene to an .npz archive."""
     arrays = {}
     children, aux = scene.tree_flatten()
-    flat, treedef = jax.tree.flatten(children)
+    flat, _ = jax.tree.flatten(children)
     for i, leaf in enumerate(flat):
         arrays[f"leaf_{i}"] = np.asarray(leaf)
-    kinds_present, has_motion, filters, user_fns, robust = aux
-    if filters or user_fns:
-        raise ValueError(
-            "scenes with filter/user callbacks cannot be serialized; "
-            "re-commit without callbacks or re-attach them after load")
-    meta = dict(kinds_present=list(kinds_present), has_motion=bool(has_motion),
-                robust=bool(robust),
+    statics = dict(zip(CommittedScene._STATIC_FIELDS, aux))
+    for f in _CALLABLE_FIELDS:
+        if statics.get(f):
+            raise ValueError(
+                "scenes with filter/user callbacks cannot be serialized; "
+                "re-commit without callbacks or re-attach them after load")
+        statics[f] = []
+    statics = {k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in statics.items()}
+    meta = dict(statics=statics,
                 n_leaves=len(flat), has_packed=scene.packed is not None,
-                packed_aux=list(scene.packed.tree_flatten()[1][:3])
-                + [list(scene.packed.kind_classes)]
-                if scene.packed is not None else None)
+                packed_aux=_packed_aux_json(scene.packed))
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
     # keep treedef structure implicitly: CommittedScene has a fixed layout
+
+
+def _packed_aux_json(packed):
+    if packed is None:
+        return None
+    aux = packed.tree_flatten()[1]
+    return [list(a) if isinstance(a, tuple) else a for a in aux]
 
 
 def load_scene(path: str) -> CommittedScene:
@@ -43,11 +54,14 @@ def load_scene(path: str) -> CommittedScene:
     flat = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
     # rebuild the children tuple with the same static structure used by flatten
     pa = meta.get("packed_aux")
-    packed_aux = (pa[0], pa[1], pa[2], tuple(pa[3])) if pa else None
+    packed_aux = tuple(tuple(a) if isinstance(a, list) else a for a in pa) \
+        if pa else None
     ref_treedef = _scene_treedef(meta["has_packed"], packed_aux)
     children = jax.tree.unflatten(ref_treedef, flat)
-    aux = (tuple(meta["kinds_present"]), bool(meta["has_motion"]), (), (),
-           bool(meta.get("robust", False)))
+    statics = meta["statics"]
+    aux = tuple(
+        tuple(statics[f]) if isinstance(statics[f], list) else statics[f]
+        for f in CommittedScene._STATIC_FIELDS)
     return CommittedScene.tree_unflatten(aux, children)
 
 
@@ -64,8 +78,7 @@ def _scene_treedef(has_packed: bool, packed_aux=None):
             dummy_children.append(BVH(z, z, z, z))
         elif f == "packed":
             dummy_children.append(
-                PackedScene(z, z, z, *(packed_aux or (False, False, False,
-                                                      (0,))))
+                PackedScene(z, z, z, *(packed_aux or ()))
                 if has_packed else None)
         else:
             dummy_children.append(z)

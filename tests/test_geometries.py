@@ -287,3 +287,35 @@ def test_mixed_kind_scene_brute_equivalence():
     m = np.asarray(h_ref.valid)
     np.testing.assert_allclose(np.asarray(h_bvh.t)[m], np.asarray(h_ref.t)[m],
                                rtol=1e-4)
+
+
+def test_filter_full_convention_modifies_hit():
+    """Full-convention filters get the intersect/occluded context and may
+    modify the reported hit's u/v/Ng (filter.h may-modify semantics)."""
+    import jax.numpy as jnp
+    v = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    i = np.array([[0, 1, 2]], np.int32)
+    tri = et.TriangleGeometry(v, i)
+    contexts = []
+
+    def flip_normal(context, org, dir, t, u, v_, ng, prim_id, geom_id):
+        contexts.append(context)              # trace-time record
+        keep = jnp.ones(t.shape, bool)        # accept everything...
+        if context == "occluded":
+            keep = t > 10.0                   # ...but never occlude
+        return keep, {"ng": -ng, "u": u * 0 + 0.25}
+
+    tri.filter = flip_normal
+    cs, _ = commit(tri)
+    h = shoot(cs, [[0, -0.2, 2.0]], [[0, 0, -1]])
+    assert bool(h.valid[0])
+    # the unmodified geometric normal points +z (CCW triangle in the z=0
+    # plane); the filter flips it
+    assert float(h.ng[0, 2]) < 0.0
+    np.testing.assert_allclose(float(h.u[0]), 0.25, atol=1e-6)
+    assert "intersect" in contexts
+    # occluded context: filter rejects everything -> not occluded
+    import embree_tpu.scene as sc
+    r = et.make_rays(jnp.asarray([[0., -0.2, 2.0]]), jnp.asarray([[0., 0., -1.]]))
+    assert not bool(sc.occluded(cs, r)[0])
+    assert "occluded" in contexts

@@ -141,3 +141,32 @@ def test_streamed_tables_match_resident():
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(h_str.prim_id)[m],
                                   np.asarray(h_res.prim_id)[m])
+
+
+def test_multistep_window_scene_matches_jnp():
+    """Time-sliced multi-step motion rides the packed kernel: per-slot
+    [t0,t1] window chunks select the active time segment in-kernel."""
+    S = 5
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    steps = np.stack([base + np.array(
+        [0, 0, np.sin(np.pi * k / (S - 1))], np.float32) for k in range(S)])
+    verts, idx = make_sphere_mesh(6, 8)
+    s = et.Scene()
+    s.attach(et.TriangleGeometry(steps, np.array([[0, 1, 2]], np.int32)))
+    s.attach(et.TriangleGeometry(jnp.asarray(verts * 0.4 + 2.0),
+                                 jnp.asarray(idx)))
+    cs = s.commit()
+    assert cs.has_windows and cs.packed is not None and cs.packed.has_win
+    rng = np.random.default_rng(5)
+    R = 256
+    org = jnp.asarray(rng.uniform(-1, 3, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, R).astype(np.float32))
+    rays = et.make_rays(org, d, time=t)
+    hp = jax.jit(lambda r: et.intersect(cs, r, backend="pallas"))(rays)
+    hj = jax.jit(lambda r: et.intersect(cs, r, backend="jnp"))(rays)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hj.valid))
+    m = np.asarray(hj.valid)
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hj.t)[m],
+                               rtol=1e-4, atol=1e-4)
+    assert np.mean(np.asarray(hp.prim_id)[m] == np.asarray(hj.prim_id)[m]) > 0.99

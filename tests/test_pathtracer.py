@@ -128,3 +128,95 @@ def test_gradient_wrt_vertices_matches_fd():
     fd = (loss(eps) - loss(-eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
     assert abs(float(g)) > 1e-6  # non-trivial gradient
+
+
+def test_fresnel_dielectric_values():
+    """Normal-incidence reflectance of glass (ior 1.5) is ~4%; grazing -> 1;
+    internal angles beyond critical -> total internal reflection."""
+    from embree_tpu.models.materials import fresnel_dielectric
+    F, cos_t, tir = fresnel_dielectric(jnp.asarray(1.0), jnp.asarray(1 / 1.5))
+    assert abs(float(F) - 0.04) < 0.002 and not bool(tir)
+    F, _, _ = fresnel_dielectric(jnp.asarray(0.001), jnp.asarray(1 / 1.5))
+    assert float(F) > 0.95
+    # inside glass at 60 deg > critical angle (41.8 deg): TIR
+    F, _, tir = fresnel_dielectric(jnp.asarray(0.5), jnp.asarray(1.5))
+    assert bool(tir) and float(F) == 1.0
+
+
+def test_dielectric_refraction_direction():
+    """Sampled transmission direction obeys Snell's law."""
+    from embree_tpu.models.materials import (DIELECTRIC, MaterialSet,
+                                             sample_brdf)
+    mats = MaterialSet(jnp.asarray([DIELECTRIC]), jnp.asarray([[1.0, 1.0, 1.0]]),
+                       jnp.asarray([0.0]), jnp.asarray([1.5]))
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    ang_i = np.deg2rad(30.0)
+    wo = jnp.asarray([[np.sin(ang_i), 0.0, np.cos(ang_i)]], dtype=jnp.float32)
+    gid = jnp.asarray([0], jnp.uint32)
+    # scan keys until one picks the transmission branch (F ~ 0.04)
+    for seed in range(8):
+        wi, w = sample_brdf(mats, gid, n, wo, jax.random.PRNGKey(seed),
+                            entering=jnp.asarray([True]))
+        wi = np.asarray(wi)[0]
+        if wi[2] < 0:       # refracted below the surface
+            sin_t = np.hypot(wi[0], wi[1])
+            np.testing.assert_allclose(sin_t, np.sin(ang_i) / 1.5, atol=1e-5)
+            assert wi[0] < 0 or np.sin(ang_i) == 0  # bends toward -x (opposite wo.x... )
+            break
+    else:
+        raise AssertionError("no transmission sample in 8 seeds")
+
+
+def test_textured_albedo_modulates_brdf():
+    from embree_tpu.models.materials import MATTE, eval_brdf, make_materials
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:, :4] = 1.0      # left half white, right half black
+    mats = make_materials(1, {0: (MATTE, (1.0, 1.0, 1.0), 0.0)},
+                          textures={0: tex})
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    wo = jnp.asarray([[0.0, 0.0, 1.0]])
+    wi = jnp.asarray([[0.0, 0.0, 1.0]])
+    gid = jnp.asarray([0], jnp.uint32)
+    bright = eval_brdf(mats, gid, n, wo, wi, u=jnp.asarray([0.2]),
+                       v=jnp.asarray([0.5]))
+    dark = eval_brdf(mats, gid, n, wo, wi, u=jnp.asarray([0.8]),
+                     v=jnp.asarray([0.5]))
+    assert float(bright[0, 0]) > 0.25
+    assert float(dark[0, 0]) < 0.05
+
+
+def test_glass_pane_transmits():
+    """A thin glass pane in front of an emissive wall passes most light
+    (two interfaces, ~0.92 straight-through transmission)."""
+    from embree_tpu.models.lights import LightSetBuilder
+    from embree_tpu.models.materials import (DIELECTRIC, EMISSIVE,
+                                             make_materials)
+    from embree_tpu.models.pathtracer import trace_paths
+
+    def quad_tris(z):
+        v = np.array([[-5, -5, z], [5, -5, z], [5, 5, z], [-5, 5, z]],
+                     np.float32)
+        return v, np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+
+    def build(with_pane):
+        s = et.Scene()
+        wv, wi_ = quad_tris(-2.0)
+        s.attach(et.TriangleGeometry(wv, wi_))          # emissive wall gid 0
+        if with_pane:
+            pv, pi = quad_tris(0.0)
+            s.attach(et.TriangleGeometry(pv, pi))       # glass pane gid 1
+        return s.commit()
+
+    mats = make_materials(2, {0: (EMISSIVE, (1.0, 1.0, 1.0), 0.0),
+                              1: (DIELECTRIC, (1.0, 1.0, 1.0), 0.0, 1.5)})
+    lights = LightSetBuilder().build()
+    org = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0]]), (256, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (256, 1))
+    rays = et.make_rays(org, d)
+    key = jax.random.PRNGKey(3)
+    L_free = trace_paths(build(False), mats, lights, rays, key, max_depth=4)
+    L_pane = trace_paths(build(True), mats, lights, rays, key, max_depth=4)
+    f_free = float(jnp.mean(L_free[:, 0]))
+    f_pane = float(jnp.mean(L_pane[:, 0]))
+    assert abs(f_free - 1.0) < 1e-5
+    assert 0.80 < f_pane <= 1.0, f_pane
