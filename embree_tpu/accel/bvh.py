@@ -20,8 +20,10 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID_NODE = jnp.int32(-0x7FFFFFFF)  # empty child slot sentinel
+INVALID_NODE = np.int32(-0x7FFFFFFF)  # empty child slot sentinel (np:
+#   jnp at module level would init the backend at import time)
 LEAF_COUNT_BITS = 4
 LEAF_COUNT_MASK = (1 << LEAF_COUNT_BITS) - 1  # max 15 prims per leaf
 

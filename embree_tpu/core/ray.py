@@ -16,8 +16,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID_ID = jnp.uint32(0xFFFFFFFF)  # RTC_INVALID_GEOMETRY_ID (rtcore_common.h:49)
+# RTC_INVALID_GEOMETRY_ID (rtcore_common.h:49). Plain numpy on purpose: a
+# module-level jnp scalar would initialize (and lock) the jax backend at
+# import time, before callers can select a platform.
+INVALID_ID = np.uint32(0xFFFFFFFF)
 MAX_INSTANCE_LEVELS = 2              # analog of RTC_MAX_INSTANCE_LEVEL_COUNT
 
 

@@ -19,7 +19,7 @@ from typing import Callable, Dict, Optional
 import jax
 
 from . import __version__ as _version
-from .scene import BuildQuality, Scene
+from .scene import BuildQuality, CommitCancelled, Scene
 
 # RTCError codes (rtcore_common.h)
 ERROR_NONE = 0
@@ -130,7 +130,7 @@ class Device:
             "curve_geometry_supported": True,
             "point_geometry_supported": True,
             "user_geometry_supported": True,
-            "subdivision_geometry_supported": False,  # M8 (SURVEY.md §7)
+            "subdivision_geometry_supported": True,
             "ray_mask_supported": True,
             "filter_function_supported": True,
             "backface_culling_enabled": False,
@@ -162,6 +162,9 @@ class Device:
                 and hasattr(getattr(cs, f), "nbytes"))
             self._monitor(nbytes)
             return cs
+        except CommitCancelled as e:
+            self._record_error(ERROR_CANCELLED, str(e))
+            raise
         except MemoryError as e:
             self._record_error(ERROR_OUT_OF_MEMORY, str(e))
             raise

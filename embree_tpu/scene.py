@@ -144,6 +144,12 @@ CommittedScene._STATIC_FIELDS = tuple(
     if f.metadata.get("static"))
 
 
+class CommitCancelled(RuntimeError):
+    """Raised when a progress monitor vetoes an in-flight commit
+    (rtcSetSceneProgressMonitorFunction returning false, RTC_ERROR_CANCELLED
+    semantics: the scene object stays valid and re-committable)."""
+
+
 class Scene:
     """Mutable geometry container; commit() produces a CommittedScene."""
 
@@ -154,6 +160,17 @@ class Scene:
         self._geoms: Dict[int, object] = {}
         self._next_id = 0
         self.committed: Optional[CommittedScene] = None
+        self._progress_fn: Optional[Callable] = None
+
+    def set_progress_monitor(self, fn: Optional[Callable]):
+        """rtcSetSceneProgressMonitorFunction analog: fn(fraction) -> bool;
+        returning False cancels the commit (CommitCancelled is raised at the
+        next milestone; the build so far is discarded)."""
+        self._progress_fn = fn
+
+    def _progress(self, frac: float):
+        if self._progress_fn is not None and not self._progress_fn(frac):
+            raise CommitCancelled(f"commit cancelled at {frac:.0%}")
 
     def attach(self, geom) -> int:
         """rtcAttachGeometry analog; returns the geometry id."""
@@ -176,6 +193,7 @@ class Scene:
         TPU is orders of magnitude slower per op; only the finished
         traversable is transferred to the default device.
         """
+        self._progress(0.0)
         m = _Merger()
         for gid, g in sorted(self._geoms.items()):
             if not getattr(g, "enabled", True):
@@ -183,6 +201,8 @@ class Scene:
             m.add(g, gid, inst_stack=(), inst_mask=0xFFFFFFFF, xf=None)
         if m.total() == 0:
             raise ValueError("commit() on empty scene")
+        self._progress(0.25)
+        m.progress = self._progress
 
         if (self.quality == BuildQuality.REFIT and self.committed is not None
                 and m.total() == self.committed.num_prims):
@@ -631,6 +651,7 @@ class _Merger:
             lo[bad] = 0.0
             up[bad] = 0.0
 
+        getattr(self, "progress", lambda f: None)(0.5)
         kinds_present = tuple(sorted(int(x) for x in np.unique(kind)))
 
         windows = np.concatenate(self.prim_t01, axis=0).astype(np.float32)
@@ -708,6 +729,7 @@ class _Merger:
                            node_child=bvh8.node_child,
                            prim_order=jnp.asarray(ref_ids)[bvh8.prim_order])
 
+            getattr(self, "progress", lambda f: None)(0.8)
             packed = None
             if packable:
                 packed = _build_packed(
@@ -746,6 +768,7 @@ class _Merger:
             user_fns=tuple(self.user_fns),
             robust=robust,
         )
+        getattr(self, "progress", lambda f: None)(1.0)
         # local_devices: under multi-process jax.distributed, devices()[0]
         # may belong to another process (non-addressable)
         default = jax.local_devices()[0]

@@ -53,8 +53,6 @@ def run_scene(xml_path, shaders, size=512, time_=0.5):
 
 
 def main(argv=None):
-    from ..utils.exr import compare_images, quantize8, read_exr
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--glob", default=os.path.join(PRIMDIR, "*.xml"))
     ap.add_argument("--out", default="parity.json")
@@ -66,8 +64,13 @@ def main(argv=None):
                     help="force the CPU backend (the axon TPU plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config instead)")
     args = ap.parse_args(argv)
+    # the platform switch MUST precede every import that might touch the
+    # backend (a single jnp op initializes it and locks the platform)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    assert not args.cpu or jax.default_backend() == "cpu", \
+        "backend initialized before --cpu could take effect"
+    from ..utils.exr import compare_images, quantize8, read_exr
 
     shaders = tuple(args.shaders.split(","))
     results = {}

@@ -182,3 +182,48 @@ def test_scene_checkpoint_roundtrip():
     h2 = jax.jit(lambda c, rr: et.intersect(c, rr, backend="jnp"))(cs2, r)
     np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h2.valid))
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t))
+
+
+def test_progress_monitor_and_cancel():
+    """rtcSetSceneProgressMonitorFunction analog: monotone progress
+    callbacks during commit; returning False cancels with
+    RTC_ERROR_CANCELLED and leaves the scene re-committable."""
+    import embree_tpu as et
+    import pytest
+    from embree_tpu.rtcore import Device, ERROR_CANCELLED
+    from embree_tpu.scene import CommitCancelled
+
+    dev = Device()
+    s = dev.new_scene()
+    s.attach(et.TriangleGeometry(
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        np.array([[0, 1, 2]], np.int32)))
+
+    seen = []
+    s.set_progress_monitor(lambda f: (seen.append(f), True)[1])
+    cs = dev.commit_scene(s)
+    assert cs is not None
+    assert seen == sorted(seen) and seen[0] == 0.0 and seen[-1] == 1.0
+
+    s.set_progress_monitor(lambda f: f < 0.4)     # cancel mid-build
+    with pytest.raises(CommitCancelled):
+        dev.commit_scene(s)
+    code, _ = dev.get_error()
+    assert code == ERROR_CANCELLED
+
+    s.set_progress_monitor(None)                   # scene still valid
+    assert dev.commit_scene(s) is not None
+
+
+def test_import_does_not_initialize_backend():
+    """Importing the package must not create jax arrays (a module-level jnp
+    scalar would lock the platform before tools can select CPU vs TPU)."""
+    import subprocess, sys
+    code = (
+        "import embree_tpu, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.default_backend() == 'cpu'\n"
+        "print('lazy-ok')\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert "lazy-ok" in out.stdout, out.stderr[-2000:]
