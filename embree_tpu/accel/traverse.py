@@ -163,8 +163,13 @@ def traverse(
             prim = bvh.prim_order[slot]
             p_hit, p_t = prim_test(prim, valid, org, dir, tnear, leaf_tfar)
             p_hit = p_hit & valid
-            leaf_tfar = jnp.where(p_hit, p_t, leaf_tfar)
-            leaf_best = jnp.where(p_hit, prim, leaf_best)
+            # deterministic tie-break: on exactly equal t keep the LOWER prim
+            # id (segments sharing an endpoint produce bit-identical cap hits;
+            # the reference's M-wide select keeps the lowest leaf slot)
+            better = p_hit & ((p_t < leaf_tfar) | (leaf_best < 0)
+                              | ((p_t == leaf_tfar) & (prim < leaf_best)))
+            leaf_tfar = jnp.where(better, p_t, leaf_tfar)
+            leaf_best = jnp.where(better, prim, leaf_best)
 
         t_far = jnp.where(is_leaf, leaf_tfar, t_far)
         best = jnp.where(is_leaf, leaf_best, best)

@@ -478,6 +478,9 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
             s0ok, ts0f, ts0b = lsph(p0x, p0y, p0z, r0)
             s1ok, ts1f, ts1b = lsph(p1x, p1y, p1z, r1)
+            # interior connection caps belong to the previous segment's end
+            # sphere (field 8 flag; ops/line.py begin_cap)
+            s0ok = s0ok & (lf(8) < 0.5)
             s0f = s0ok & (ypc + ts0f * dOdP < 0.0)
             s0b = s0ok & (ypc + ts0b * dOdP < 0.0)
             s1f = s1ok & (ypc + ts1f * dOdP > gco)

@@ -314,11 +314,12 @@ class SubdivisionGeometry:
     ahead-of-time analog of the reference's cached feature-adaptive
     tessellation). Creases: {(v0,v1): weight}; boundary_interpolation mirrors
     RTC_SUBDIVISION_MODE smooth-boundary vs pin-corners."""
-    vertices: object             # (n_verts, 3)
+    vertices: object             # (n_verts, 3) or (S, n_verts, 3) motion
     face_counts: object          # (F,) verts per face
     indices: object              # flat indices
     levels: int = 2
     creases: Optional[dict] = None
+    vertex_creases: Optional[dict] = None  # {vertex: weight}, inf = corner
     boundary_interpolation: bool = True
     mask: int = 0xFFFFFFFF
     enabled: bool = True

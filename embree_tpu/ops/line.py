@@ -24,8 +24,15 @@ from ..core.math import dot
 SELF_INTERSECTION_AVOIDANCE = 2.0   # CMakeLists.txt:212 default
 
 
-def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar):
-    """Ray vs tangent cone-sphere segment. Returns (hit, t, u, v, ng)."""
+def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
+                         begin_cap=True):
+    """Ray vs tangent cone-sphere segment. Returns (hit, t, u, v, ng).
+
+    begin_cap: whether the begin sphere (p0/r0) is part of this segment's
+    surface. The reference's CSG gives interior connection caps to the
+    PREVIOUS segment's end sphere and only chain-start segments own a begin
+    sphere (roundline_intersector.h:577-580 isBeginPoint), which also fixes
+    the reported u at caps (end-sphere hits -> u=1 of the earlier segment)."""
     dOdO = dot(dir, dir)
     rcp_dOdO = 1.0 / jnp.maximum(dOdO, 1e-30)
     # recenter the ray near the segment (roundline_intersector.h:545-549)
@@ -75,6 +82,7 @@ def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar):
 
     s0_ok, ts0f, ts0b = sphere(p0, r0)
     s1_ok, ts1f, ts1b = sphere(p1, r1)
+    s0_ok = s0_ok & begin_cap
     # sphere hits inside the cone's y-range belong to the cone surface
     s0f_ok = s0_ok & (yp + ts0f * dOdP < 0.0)
     s0b_ok = s0_ok & (yp + ts0b * dOdP < 0.0)

@@ -2,14 +2,22 @@
 
 Behavior parity with the reference subdivision kernel (kernels/subdiv/:
 catmullclark_ring.h vertex/edge/face rules, scene_subdiv_mesh.cpp half-edge
-build; RTC_SUBDIVISION_MODE boundary handling rtcore_geometry.h:56-63).
+build; RTC_SUBDIVISION_MODE boundary handling rtcore_geometry.h:56-63;
+vertex creases RTC_BUFFER_TYPE_VERTEX_CREASE_* with +inf = pinned corner).
 
 TPU-first divergence (SURVEY.md §7 hard-part 6): the reference evaluates
 patches lazily per-ray through a tessellation cache; here meshes are uniformly
-subdivided ahead-of-time at commit into quads (feature-adaptive evaluation and
-displacement callbacks operate on the refined mesh). Crease weights follow the
-blended sharp/smooth rule: a crease of weight w >= 1 uses the sharp rule for
-one more level then decrements (the DeRose fractional-sharpness scheme).
+subdivided ahead-of-time at commit into quads, then pushed onto the LIMIT
+surface with the closed-form Catmull-Clark limit stencils (the refined
+control cage alone sits measurably inside the limit surface the reference
+renders). Crease weights follow the blended sharp/smooth rule: a crease of
+weight w >= 1 uses the sharp rule for one more level then decrements (the
+DeRose fractional-sharpness scheme).
+
+Each refined quad also carries its base-face parameter rectangle (an affine
+uv frame), so hits report uv spanning the BASE face like the reference's
+patch uv — for quad base faces; n-gon sub-faces keep sub-quad-local uv
+(documented divergence).
 """
 from __future__ import annotations
 
@@ -30,49 +38,87 @@ def _face_list(face_counts, indices):
 def catmull_clark(vertices: np.ndarray, face_counts: np.ndarray,
                   indices: np.ndarray, levels: int = 2,
                   creases: Optional[Dict[Tuple[int, int], float]] = None,
-                  boundary_interpolation: bool = True):
-    """Uniformly subdivide `levels` times.
+                  vertex_creases: Optional[Dict[int, float]] = None,
+                  boundary_interpolation: bool = True,
+                  to_limit: bool = True):
+    """Uniformly subdivide `levels` times, then project to the limit surface.
 
     Args:
-      vertices: (n, 3) float32.
+      vertices: (n, 3) or (S, n, 3) float32 (motion steps share topology).
       face_counts: (F,) verts per face (arbitrary valence).
       indices: flat vertex indices (sum(face_counts),).
       creases: optional {(v0, v1) sorted tuple: weight} edge crease map.
+      vertex_creases: optional {vertex: weight} (np.inf pins forever).
       boundary_interpolation: smooth boundary rule (True) vs corners pinned.
+      to_limit: push the final cage onto the Catmull-Clark limit surface.
     Returns:
-      (verts, quad_indices (Q, 4) int32, base_face (Q,) int32): the all-quad
-      refined mesh + the base-face id each quad came from.
+      (verts, quad_indices (Q, 4) int32, base_face (Q,) int32,
+       quad_uvm (Q, 6) float32): the all-quad refined mesh, the base-face id
+      each quad came from, and the affine quad-local->base-face uv frame
+      [ou, ov, du_u, dv_u, du_v, dv_v]:
+        u_base = ou + u*du_u + v*dv_u ; v_base = ov + u*du_v + v*dv_v.
+      verts has the same leading motion axis as the input.
     """
-    V = np.asarray(vertices, np.float64)
+    Vin = np.asarray(vertices, np.float64)
+    multi = Vin.ndim == 3
+    Vs = Vin if multi else Vin[None]
     faces = _face_list(np.asarray(face_counts, np.int64),
                        np.asarray(indices, np.int64))
     base = list(range(len(faces)))
     crease = dict(creases or {})
+    vcrease = dict(vertex_creases or {})
+    # base-face uv corners: exact for quads, None for n-gons
+    fuv = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+           if len(f) == 4 else None for f in faces]
 
+    Vs = list(Vs)
     for _ in range(max(levels, 0)):
-        V, faces, base, crease = _subdivide_once(V, faces, base, crease,
-                                                 boundary_interpolation)
+        out = _subdivide_once(Vs, faces, base, crease, vcrease, fuv,
+                              boundary_interpolation)
+        Vs, faces, base, crease, vcrease, fuv = out
+
+    if to_limit:
+        Vs = [_limit_project(V, faces, crease, vcrease,
+                             boundary_interpolation) for V in Vs]
 
     # after >=1 level everything is quads; with levels=0 fan-split non-quads
     quads = []
     qbase = []
-    for f, b in zip(faces, base):
+    quvm = []
+
+    def uvm_of(uv):
+        if uv is None or len(uv) != 4:
+            return [0.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+        (ou, ov), (bu, bv), _, (du, dv) = uv
+        return [ou, ov, bu - ou, bv - ov, du - ou, dv - ov]
+
+    for f, b, uv in zip(faces, base, fuv):
         if len(f) == 4:
             quads.append(f)
             qbase.append(b)
+            quvm.append(uvm_of(uv))
         elif len(f) == 3:
             quads.append([f[0], f[1], f[2], f[2]])
             qbase.append(b)
+            quvm.append(uvm_of(None))
         else:
             for k in range(1, len(f) - 1):
                 quads.append([f[0], f[k], f[k + 1], f[k + 1]])
                 qbase.append(b)
-    return (V.astype(np.float32), np.asarray(quads, np.int32),
-            np.asarray(qbase, np.int32))
+                quvm.append(uvm_of(None))
+    V_out = np.stack([V.astype(np.float32) for V in Vs])
+    if not multi:
+        V_out = V_out[0]
+    return (V_out, np.asarray(quads, np.int32),
+            np.asarray(qbase, np.int32), np.asarray(quvm, np.float32))
 
 
-def _subdivide_once(V, faces, base, crease, smooth_boundary):
-    nv = V.shape[0]
+def _mid_uv(a, b):
+    return (0.5 * (a[0] + b[0]), 0.5 * (a[1] + b[1]))
+
+
+def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
+    nv = Vs[0].shape[0]
     # --- adjacency ---
     edge_faces: Dict[Tuple[int, int], List[int]] = {}
     for fi, f in enumerate(faces):
@@ -81,77 +127,95 @@ def _subdivide_once(V, faces, base, crease, smooth_boundary):
             e = tuple(sorted((f[k], f[(k + 1) % n])))
             edge_faces.setdefault(e, []).append(fi)
 
-    # --- face points ---
-    fp = np.array([V[f].mean(axis=0) for f in faces])
+    edge_order = list(edge_faces.keys())
+    ep_idx = {e: nv + len(faces) + i for i, e in enumerate(edge_order)}
     fp_idx = {fi: nv + fi for fi in range(len(faces))}
 
-    # --- edge points ---
-    ep_idx: Dict[Tuple[int, int], int] = {}
-    ep_list = []
-    next_id = nv + len(faces)
-    for e, efs in edge_faces.items():
-        mid = 0.5 * (V[e[0]] + V[e[1]])
-        w = crease.get(e, 0.0)
-        if len(efs) == 2 and w < 1.0:
-            smooth = 0.25 * (V[e[0]] + V[e[1]] + fp[efs[0]] + fp[efs[1]])
-            pt = (1 - w) * smooth + w * mid
-        else:
-            pt = mid  # boundary or sharp crease
-        ep_idx[e] = next_id
-        ep_list.append(pt)
-        next_id += 1
-
-    # --- vertex points ---
-    # classify: collect incident edges + faces per vertex
     vert_edges: Dict[int, List[Tuple[int, int]]] = {}
     vert_faces: Dict[int, List[int]] = {}
-    for e, efs in edge_faces.items():
+    for e in edge_order:
         for v in e:
             vert_edges.setdefault(v, []).append(e)
-        for fi in efs:
-            pass
     for fi, f in enumerate(faces):
         for v in f:
             vert_faces.setdefault(v, []).append(fi)
 
-    VP = V.copy()
-    for v in range(nv):
-        edges = vert_edges.get(v, [])
-        fcs = vert_faces.get(v, [])
-        if not edges:
-            continue
-        boundary_edges = [e for e in edges if len(edge_faces[e]) == 1]
-        sharp_edges = [e for e in edges
-                       if crease.get(e, 0.0) >= 1.0 or len(edge_faces[e]) == 1]
-        if len(sharp_edges) >= 3:
-            continue  # corner: pinned
-        if len(sharp_edges) == 2:
-            # crease/boundary vertex rule: (n0 + 6v + n1) / 8
-            if not smooth_boundary and boundary_edges:
+    newVs = []
+    for V in Vs:
+        # --- face points ---
+        fp = np.array([V[f].mean(axis=0) for f in faces])
+
+        # --- edge points ---
+        ep_list = []
+        for e in edge_order:
+            efs = edge_faces[e]
+            mid = 0.5 * (V[e[0]] + V[e[1]])
+            w = crease.get(e, 0.0)
+            if len(efs) == 2 and w < 1.0:
+                smooth = 0.25 * (V[e[0]] + V[e[1]] + fp[efs[0]] + fp[efs[1]])
+                pt = (1 - w) * smooth + w * mid
+            else:
+                pt = mid  # boundary or sharp crease
+            ep_list.append(pt)
+
+        # --- vertex points ---
+        VP = V.copy()
+        for v in range(nv):
+            edges = vert_edges.get(v, [])
+            fcs = vert_faces.get(v, [])
+            if not edges:
                 continue
-            o = [e[0] if e[1] == v else e[1] for e in sharp_edges]
-            VP[v] = (V[o[0]] + 6.0 * V[v] + V[o[1]]) / 8.0
-            continue
-        n = len(fcs)
-        if n == 0 or len(edges) != n:
-            continue  # non-manifold-ish: leave in place
-        Q = fp[fcs].mean(axis=0)
-        R = np.array([0.5 * (V[e[0]] + V[e[1]]) for e in edges]).mean(axis=0)
-        VP[v] = (Q + 2.0 * R + (n - 3.0) * V[v]) / n
+            vw = vcrease.get(v, 0.0)
+            if vw >= 1.0 or not np.isfinite(vw) and vw > 0:
+                continue  # pinned corner (vertex crease)
+            boundary_edges = [e for e in edges if len(edge_faces[e]) == 1]
+            sharp_edges = [e for e in edges
+                           if crease.get(e, 0.0) >= 1.0
+                           or len(edge_faces[e]) == 1]
+            if len(sharp_edges) >= 3:
+                continue  # corner: pinned
+            if len(sharp_edges) == 2:
+                # crease/boundary vertex rule: (n0 + 6v + n1) / 8
+                if not smooth_boundary and boundary_edges:
+                    continue
+                o = [e[0] if e[1] == v else e[1] for e in sharp_edges]
+                pt = (V[o[0]] + 6.0 * V[v] + V[o[1]]) / 8.0
+            else:
+                n = len(fcs)
+                if n == 0 or len(edges) != n:
+                    continue  # non-manifold-ish: leave in place
+                Q = fp[fcs].mean(axis=0)
+                R = np.array([0.5 * (V[e[0]] + V[e[1]])
+                              for e in edges]).mean(axis=0)
+                pt = (Q + 2.0 * R + (n - 3.0) * V[v]) / n
+            if 0.0 < vw < 1.0:
+                pt = (1 - vw) * pt + vw * V[v]   # fractional vertex crease
+            VP[v] = pt
 
-    newV = np.concatenate([VP, fp, np.asarray(ep_list)], axis=0)
+        newVs.append(np.concatenate([VP, fp, np.asarray(ep_list)], axis=0))
 
-    # --- new faces: one quad per (face, corner) ---
+    # --- new faces: one quad per (face, corner), with uv frames ---
     new_faces = []
     new_base = []
+    new_fuv = []
     for fi, f in enumerate(faces):
         n = len(f)
+        uv = fuv[fi]
         for k in range(n):
             v = f[k]
             e_prev = tuple(sorted((f[(k - 1) % n], v)))
             e_next = tuple(sorted((v, f[(k + 1) % n])))
             new_faces.append([v, ep_idx[e_next], fp_idx[fi], ep_idx[e_prev]])
             new_base.append(base[fi])
+            if uv is not None and n == 4:
+                A = uv[k]
+                B = uv[(k + 1) % 4]
+                C = (0.25 * sum(p[0] for p in uv),
+                     0.25 * sum(p[1] for p in uv))
+                D = uv[(k - 1) % 4]
+                new_fuv.append([A, _mid_uv(A, B), C, _mid_uv(D, A)])
+            else:
+                new_fuv.append(None)
 
     # --- propagate creases (decremented sharpness) ---
     new_crease: Dict[Tuple[int, int], float] = {}
@@ -164,4 +228,58 @@ def _subdivide_once(V, faces, base, crease, smooth_boundary):
         for v in e:
             ne = tuple(sorted((v, ei)))
             new_crease[ne] = max(w - 1.0, 0.0)
-    return newV, new_faces, new_base, new_crease
+    new_vcrease = {v: (w if not np.isfinite(w) else w - 1.0)
+                   for v, w in vcrease.items()
+                   if not np.isfinite(w) or w > 1.0}
+    return newVs, new_faces, new_base, new_crease, new_vcrease, new_fuv
+
+
+def _limit_project(V, faces, crease, vcrease, smooth_boundary):
+    """Push a refined control cage onto the Catmull-Clark limit surface.
+
+    Closed-form limit stencils (catmullclark_ring.h getLimitVertex roles):
+      interior valence-n vertex:  (n^2 v + 4 sum(edge mids) + sum(face
+        centroids)) / (n (n+5))
+      crease/boundary vertex:     (e0 + 4 v + e1) / 6
+      corners / pinned:           v
+    """
+    edge_faces: Dict[Tuple[int, int], List[int]] = {}
+    for fi, f in enumerate(faces):
+        n = len(f)
+        for k in range(n):
+            e = tuple(sorted((f[k], f[(k + 1) % n])))
+            edge_faces.setdefault(e, []).append(fi)
+    vert_edges: Dict[int, List[Tuple[int, int]]] = {}
+    vert_faces: Dict[int, List[int]] = {}
+    for e in edge_faces:
+        for v in e:
+            vert_edges.setdefault(v, []).append(e)
+    for fi, f in enumerate(faces):
+        for v in f:
+            vert_faces.setdefault(v, []).append(fi)
+
+    out = V.copy()
+    for v, edges in vert_edges.items():
+        fcs = vert_faces.get(v, [])
+        vw = vcrease.get(v, 0.0)
+        if vw > 0:
+            continue                       # pinned vertex crease
+        sharp_edges = [e for e in edges
+                       if crease.get(e, 0.0) >= 1.0
+                       or len(edge_faces[e]) == 1]
+        if len(sharp_edges) >= 3:
+            continue                       # corner stays
+        if len(sharp_edges) == 2:
+            if not smooth_boundary and any(
+                    len(edge_faces[e]) == 1 for e in sharp_edges):
+                continue
+            o = [e[0] if e[1] == v else e[1] for e in sharp_edges]
+            out[v] = (V[o[0]] + 4.0 * V[v] + V[o[1]]) / 6.0
+            continue
+        n = len(fcs)
+        if n == 0 or len(edges) != n:
+            continue
+        E = np.array([0.5 * (V[e[0]] + V[e[1]]) for e in edges]).sum(axis=0)
+        Fc = np.array([V[faces[fi]].mean(axis=0) for fi in fcs]).sum(axis=0)
+        out[v] = (n * n * V[v] + 4.0 * E + Fc) / (n * (n + 5.0))
+    return out

@@ -83,8 +83,9 @@ class CommittedScene:
     # triangles (two time steps; _b == step 1, equal to step 0 when static)
     tri_v0: jnp.ndarray; tri_v1: jnp.ndarray; tri_v2: jnp.ndarray
     tri_v0b: jnp.ndarray; tri_v1b: jnp.ndarray; tri_v2b: jnp.ndarray
-    # quads (Tq, 4, 3)
-    quad_v: jnp.ndarray; quad_vb: jnp.ndarray
+    # quads (Tq, 4, 3); uvm = per-quad uv remap [off_u, off_v, scale_u,
+    # scale_v] mapping quad-local uv into geometry uv (grids: whole-grid span)
+    quad_v: jnp.ndarray; quad_vb: jnp.ndarray; quad_uvm: jnp.ndarray
     # points
     pnt_c: jnp.ndarray; pnt_r: jnp.ndarray; pnt_n: jnp.ndarray
     pnt_cb: jnp.ndarray; pnt_rb: jnp.ndarray; pnt_nb: jnp.ndarray
@@ -92,6 +93,7 @@ class CommittedScene:
     line_p0: jnp.ndarray; line_r0: jnp.ndarray
     line_p1: jnp.ndarray; line_r1: jnp.ndarray
     line_u0: jnp.ndarray; line_u1: jnp.ndarray
+    line_fl: jnp.ndarray   # flags: bit0 = has-left-neighbor (no begin cap)
     line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
     line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
     # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4);
@@ -231,9 +233,10 @@ class _Merger:
     def __init__(self):
         self.rows = []          # per-prim (kind, geom, local, inst0, inst1, data_idx, mask)
         self.tri = {k: [] for k in ("v0", "v1", "v2", "v0b", "v1b", "v2b")}
-        self.quad = {k: [] for k in ("v", "vb")}
+        self.quad = {k: [] for k in ("v", "vb", "uvm")}
         self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb", "nb")}
         self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
+                                     "fl",
                                      "p0b", "r0b", "p1b", "r1b")}
         self.curve = {k: [] for k in ("cp", "cpb", "n", "nb")}
         self.user = {k: [] for k in ("lo", "up")}
@@ -360,6 +363,7 @@ class _Merger:
             self.counts["quad"] += n
             self.quad["v"].append(np.asarray(q0, np.float32))
             self.quad["vb"].append(np.asarray(q1, np.float32))
+            self.quad["uvm"].append(_uvm_identity(n))
 
         elif isinstance(g, PointGeometry):
             pa, pb, motion = self._steps(g.points, "points")
@@ -396,6 +400,10 @@ class _Merger:
             kind = KIND_ROUND_LINE if g.kind == "round" else KIND_FLAT_LINE
             n = idx.shape[0]
             u = np.zeros(n, np.float32)
+            # interior connection caps belong to the previous segment's end
+            # sphere (roundline_intersector.h isBeginPoint): a begin sphere
+            # exists only where no segment ends at our start vertex
+            has_left = np.isin(idx - 1, idx)
             self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
             self.counts["line"] += n
             for (key, arr) in (
@@ -404,6 +412,7 @@ class _Merger:
                     ("p1", self._xf_points(xf, va[idx + 1, :3])),
                     ("r1", va[idx + 1, 3] * s),
                     ("u0", u), ("u1", u + 1.0),
+                    ("fl", has_left.astype(np.float32)),
                     ("p0b", self._xf_points(xfb, vb_[idx, :3])),
                     ("r0b", vb_[idx, 3] * s),
                     ("p1b", self._xf_points(xfb, vb_[idx + 1, :3])),
@@ -487,6 +496,7 @@ class _Merger:
                     ("p0", self._xf_points(xf, p0)), ("r0", r0 * s),
                     ("p1", self._xf_points(xf, p1)), ("r1", r1 * s),
                     ("u0", u0), ("u1", u1),
+                    ("fl", ((np.arange(n) % rate) != 0).astype(np.float32)),
                     ("p0b", self._xf_points(xfb, p0b)), ("r0b", r0b * s),
                     ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s)):
                 self.line[key].append(np.asarray(arr, np.float32))
@@ -497,6 +507,7 @@ class _Merger:
             grids = np.asarray(g.grids, np.int64)
             q_idx = []
             local = []
+            uvms = []
             for gi, (sv, stride, w, h) in enumerate(grids):
                 ys, xs = np.meshgrid(np.arange(h - 1), np.arange(w - 1),
                                      indexing="ij")
@@ -505,6 +516,16 @@ class _Merger:
                              axis=-1).reshape(-1, 4)
                 q_idx.append(q)
                 local.append(np.full(q.shape[0], gi, np.int64))
+                # grid-global uv: u=(cellx+lu)/(resX-1), v=(celly+lv)/(resY-1)
+                # (subgrid_intersector_moeller.h:19 interpolateUV)
+                ix = 1.0 / max(w - 1, 1)
+                iy = 1.0 / max(h - 1, 1)
+                m = np.zeros((q.shape[0], 6), np.float32)
+                m[:, 0] = xs.reshape(-1) * ix
+                m[:, 1] = ys.reshape(-1) * iy
+                m[:, 2] = ix
+                m[:, 5] = iy
+                uvms.append(m)
             idx = np.concatenate(q_idx)
             q0 = self._xf_points(xf, va[idx])
             q1 = self._xf_points(xfb, vb[idx])
@@ -514,23 +535,31 @@ class _Merger:
             self.counts["quad"] += n
             self.quad["v"].append(np.asarray(q0, np.float32))
             self.quad["vb"].append(np.asarray(q1, np.float32))
+            self.quad["uvm"].append(np.concatenate(uvms))
 
         elif isinstance(g, SubdivisionGeometry):
             from .ops.subdiv import catmull_clark
-            verts, quads, qbase = catmull_clark(
+            verts, quads, qbase, quvm = catmull_clark(
                 np.asarray(g.vertices, np.float32),
                 np.asarray(g.face_counts, np.int64),
                 np.asarray(g.indices, np.int64),
                 levels=g.levels, creases=g.creases,
+                vertex_creases=getattr(g, "vertex_creases", None),
                 boundary_interpolation=g.boundary_interpolation)
-            q0 = self._xf_points(xf, verts[quads])
-            q1 = self._xf_points(xfb, verts[quads])
+            # motion steps subdivide independently (CC is linear in the
+            # cage for fixed topology, so per-step refine + lerp is exact)
+            va, vb, motion = _split_timesteps(verts, "subdiv", self._window) \
+                if verts.ndim == 3 else (verts, verts, False)
+            self.has_motion |= motion or xf_motion
+            q0 = self._xf_points(xf, va[quads])
+            q1 = self._xf_points(xfb, vb[quads])
             n = quads.shape[0]
             self._emit(KIND_QUAD, gid, n, self.counts["quad"], inst_stack, mask)
             self.rows[-1][:, 2] = qbase  # prim id = base face (patch) index
             self.counts["quad"] += n
             self.quad["v"].append(np.asarray(q0, np.float32))
             self.quad["vb"].append(np.asarray(q1, np.float32))
+            self.quad["uvm"].append(np.asarray(quvm, np.float32))
 
         elif isinstance(g, UserGeometry):
             lo = np.asarray(g.bounds_lower, np.float32)
@@ -585,7 +614,8 @@ class _Merger:
             return np.zeros((0,) + shape_tail, np.float32)
 
         tri = {k: cat(v, (3,)) for k, v in self.tri.items()}
-        quad = {k: cat(v, (4, 3)) for k, v in self.quad.items()}
+        quad = {k: cat(v, (6,) if k == "uvm" else (4, 3))
+                for k, v in self.quad.items()}
         pnt_c = cat(self.pnt["c"], (3,)); pnt_cb = cat(self.pnt["cb"], (3,))
         pnt_r = cat(self.pnt["r"], ()); pnt_rb = cat(self.pnt["rb"], ())
         pnt_n = cat(self.pnt["n"], (3,)); pnt_nb = cat(self.pnt["nb"], (3,))
@@ -748,12 +778,13 @@ class _Merger:
             prim_mask=rows[:, 6].astype(np.uint32),
             tri_v0=tri["v0"], tri_v1=tri["v1"], tri_v2=tri["v2"],
             tri_v0b=tri["v0b"], tri_v1b=tri["v1b"], tri_v2b=tri["v2b"],
-            quad_v=quad["v"], quad_vb=quad["vb"],
+            quad_v=quad["v"], quad_vb=quad["vb"], quad_uvm=quad["uvm"],
             pnt_c=pnt_c, pnt_r=pnt_r, pnt_n=pnt_n, pnt_cb=pnt_cb,
             pnt_rb=pnt_rb, pnt_nb=pnt_nb,
             line_p0=line["p0"], line_r0=line["r0"],
             line_p1=line["p1"], line_r1=line["r1"],
             line_u0=line["u0"], line_u1=line["u1"],
+            line_fl=line["fl"],
             line_p0b=line["p0b"], line_r0b=line["r0b"],
             line_p1b=line["p1b"], line_r1b=line["r1b"],
             curve_cp=curve_cp.reshape(-1, 4, 4), curve_cpb=curve_cpb.reshape(-1, 4, 4),
@@ -834,10 +865,11 @@ def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
             put(sel, 0, (pnt_c[d], pnt_r[d][:, None], pnt_n[d], pad(n, 2)),
                 (pnt_cb[d], pnt_rb[d][:, None], pnt_nb[d], pad(n, 2)), k)
         elif k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
+            flc = line["fl"][d][:, None]
             put(sel, 0, (line["p0"][d], line["r0"][d][:, None],
-                         line["p1"][d], line["r1"][d][:, None], pad(n, 1)),
+                         line["p1"][d], line["r1"][d][:, None], flc),
                 (line["p0b"][d], line["r0b"][d][:, None],
-                 line["p1b"][d], line["r1b"][d][:, None], pad(n, 1)), k)
+                 line["p1b"][d], line["r1b"][d][:, None], flc), k)
 
     classes = tuple(sorted({int(t) for t in np.unique(skind[spid >= 0])}))
     has_kinds = classes != (KIND_TRIANGLE,)
@@ -867,6 +899,14 @@ def _native_build_enabled(n_prims: int) -> bool:
         return native_available()
     # auto: native wins decisively above ~50k prims (15x at 200k)
     return n_prims >= 50000 and native_available()
+
+
+def _uvm_identity(n):
+    """Identity affine uv frame [ou, ov, du_u, dv_u, du_v, dv_v]."""
+    m = np.zeros((n, 6), np.float32)
+    m[:, 2] = 1.0
+    m[:, 5] = 1.0
+    return m
 
 
 def _compose_affine(a, b):
@@ -905,9 +945,14 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
     if k == KIND_QUAD:
         i = jnp.clip(didx, 0, max(scene.quad_v.shape[0] - 1, 0))
         q = lerp(scene.quad_v[i], scene.quad_vb[i])
-        return quad_ops.intersect_quad(
+        hit, t, u, v, ng = quad_ops.intersect_quad(
             org, dir, q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :],
             tnear, tfar)
+        m = scene.quad_uvm[i]
+        # affine frame [ou, ov, du_u, dv_u, du_v, dv_v]
+        ug = m[..., 0] + u * m[..., 2] + v * m[..., 4]
+        vg = m[..., 1] + u * m[..., 3] + v * m[..., 5]
+        return hit, t, ug, vg, ng
     if k in (KIND_SPHERE, KIND_DISC, KIND_ORIENTED_DISC):
         i = jnp.clip(didx, 0, max(scene.pnt_c.shape[0] - 1, 0))
         c = lerp(scene.pnt_c[i], scene.pnt_cb[i])
@@ -925,9 +970,13 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         p1 = lerp(scene.line_p1[i], scene.line_p1b[i])
         r0 = lerp(scene.line_r0[i], scene.line_r0b[i])
         r1 = lerp(scene.line_r1[i], scene.line_r1b[i])
-        fn = (line_ops.intersect_round_line if k == KIND_ROUND_LINE
-              else line_ops.intersect_flat_line)
-        hit, t, s, v, ng = fn(org, dir, p0, r0, p1, r1, tnear, tfar)
+        if k == KIND_ROUND_LINE:
+            hit, t, s, v, ng = line_ops.intersect_round_line(
+                org, dir, p0, r0, p1, r1, tnear, tfar,
+                begin_cap=scene.line_fl[i] < 0.5)
+        else:
+            hit, t, s, v, ng = line_ops.intersect_flat_line(
+                org, dir, p0, r0, p1, r1, tnear, tfar)
         # map sub-segment param into curve-global u
         u = scene.line_u0[i] * (1 - s) + scene.line_u1[i] * s
         return hit, t, u, v, ng
@@ -1200,8 +1249,11 @@ def intersect_brute(scene: CommittedScene, rays: RayBatch) -> HitBatch:
         t_far, best = carry
         hit, t = prim_test(prim, jnp.ones(t_far.shape, bool),
                            flat.org, flat.dir, flat.tnear, t_far)
-        t_far = jnp.where(hit, t, t_far)
-        best = jnp.where(hit, prim, best)
+        # ascending scan + strict improvement = lowest prim id wins exact
+        # ties (matches the BVH engine's deterministic tie-break)
+        better = hit & ((t < t_far) | (best < 0))
+        t_far = jnp.where(better, t, t_far)
+        best = jnp.where(better, prim, best)
         return (t_far, best), None
 
     (t_out, best), _ = jax.lax.scan(

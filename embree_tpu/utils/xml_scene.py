@@ -140,12 +140,19 @@ def _add_geometry(out: XMLScene, elem, xfm):
         ew = _nums(elem.find("edge_crease_weights"))
         for (a, b), w in zip(ec, ew):
             creases[(int(a), int(b))] = float(w)
-        # vertex creases (rtcore_geometry.h VERTEX_CREASE buffers) are not yet
-        # modeled by ops/subdiv.py — parsed and dropped, documented divergence
-        if pos.ndim == 3:
-            pos = pos[0]        # subdiv motion unsupported: use step 0
+        vcreases = {}
+        vc = elem.find("vertex_creases")
+        if vc is not None:
+            vids = _ints(vc)
+            vws = _nums(elem.find("vertex_crease_weights"))
+            for vid, w in zip(vids, vws):
+                if w > 0:
+                    vcreases[int(vid)] = float(w)
+        # level 4 approximates the reference's adaptive tessellation of the
+        # limit surface closely enough for golden-image parity
         out.geometries.append(SubdivisionGeometry(
-            pos, faces, idx, creases=creases or None))
+            pos, faces, idx, levels=4, creases=creases or None,
+            vertex_creases=vcreases or None))
     elif tag == "Curves" or tag in ("BezierCurves", "BSplineHair", "BezierHair",
                                     "Hair"):
         basis = elem.get("basis", "bezier")
