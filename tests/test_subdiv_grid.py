@@ -23,19 +23,19 @@ def cube():
 
 def test_catmull_clark_counts():
     v, fc, idx = cube()
-    verts, quads, base = catmull_clark(v, fc, idx, levels=1)
+    verts, quads, base, _uvm = catmull_clark(v, fc, idx, levels=1)
     # level 1: V + F + E = 8 + 6 + 12 = 26 verts, 6*4 = 24 quads
     assert verts.shape[0] == 26
     assert quads.shape[0] == 24
     assert set(np.asarray(base)) == set(range(6))
-    verts2, quads2, _ = catmull_clark(v, fc, idx, levels=2)
+    verts2, quads2, _, _ = catmull_clark(v, fc, idx, levels=2)
     assert quads2.shape[0] == 96
 
 
 def test_catmull_clark_converges_inward():
     """Subdivided cube shrinks toward the limit surface (inside the cube)."""
     v, fc, idx = cube()
-    verts, quads, _ = catmull_clark(v, fc, idx, levels=3)
+    verts, quads, _, _ = catmull_clark(v, fc, idx, levels=3)
     r = np.linalg.norm(verts, axis=1)
     assert r.max() < np.sqrt(3.0) - 0.2      # well inside the original corners
     assert r.min() > 0.5                      # still a solid surface
@@ -52,7 +52,7 @@ def test_flat_grid_stays_planar():
             a = i * 4 + j
             faces.append([a, a + 1, a + 5, a + 4])
     fc = np.full(9, 4, np.int64)
-    verts, quads, _ = catmull_clark(v, fc, np.asarray(faces).reshape(-1), levels=2)
+    verts, quads, _, _ = catmull_clark(v, fc, np.asarray(faces).reshape(-1), levels=2)
     np.testing.assert_allclose(verts[:, 2], 0.0, atol=1e-6)
 
 
@@ -65,7 +65,7 @@ def test_crease_keeps_edge_sharp():
         for k in range(4):
             e = tuple(sorted((int(face[k]), int(face[(k + 1) % 4]))))
             creases[e] = 10.0
-    verts, quads, _ = catmull_clark(v, fc, idx, levels=2, creases=creases)
+    verts, quads, _, _ = catmull_clark(v, fc, idx, levels=2, creases=creases)
     # all refined verts stay on the cube surface (max coordinate == 1)
     m = np.abs(verts).max(axis=1)
     np.testing.assert_allclose(m, 1.0, atol=1e-5)
