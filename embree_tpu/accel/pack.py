@@ -102,7 +102,7 @@ class PackedScene:
 
 
 def _f32_bits(x_int):
-    return jax.lax.bitcast_convert_type(x_int.astype(jnp.int32), jnp.float32)
+    return np.asarray(x_int, np.int32).view(np.float32)
 
 
 def _bf16_bits_dir(x, toward_pos: bool):
@@ -111,12 +111,12 @@ def _bf16_bits_dir(x, toward_pos: bool):
     Truncating the low 16 mantissa bits rounds toward zero; when that moves
     the value the wrong way, bump the magnitude by one bf16 ulp (int bits
     + 0x10000 — exponent carries work out in ieee bit order)."""
-    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    b = np.asarray(x, np.float32).view(np.int32)
     frac = (b & 0xFFFF) != 0
-    t = b & ~jnp.int32(0xFFFF)
+    t = b & ~np.int32(0xFFFF)
     neg = b < 0
     bump = frac & (neg != toward_pos)
-    t = jnp.where(bump, t + jnp.int32(0x10000), t)
+    t = np.where(bump, t + np.int32(0x10000), t)
     return (t >> 16) & 0xFFFF
 
 
@@ -134,9 +134,12 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     assert bvh8.width == 8
     W = 8
     leaf_prims = LEAF_WIDTH // slot_factor
-    child = bvh8.node_child[:n_wide]          # (n_wide, 8)
-    lo = bvh8.node_lower[:n_wide]             # (n_wide, 8, 3)
-    up = bvh8.node_upper[:n_wide]
+    # host numpy throughout: packing is gather/reshape bound and must not
+    # trip eager device dispatch (the axon TPU tunnel makes per-op dispatch
+    # seconds-slow) nor pay jit compiles per scene shape
+    child = np.asarray(bvh8.node_child[:n_wide])          # (n_wide, 8)
+    lo = np.asarray(bvh8.node_lower[:n_wide])             # (n_wide, 8, 3)
+    up = np.asarray(bvh8.node_upper[:n_wide])
 
     # --- record numbering: leaf records ordered by (node, slot), which keeps
     # sibling leaves adjacent for coherent ray blocks ---
@@ -145,11 +148,11 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     n_leaf = int(leaf_mask.sum())
     leaf_ids_flat = np.cumsum(leaf_mask) - leaf_mask
 
-    flat_child = np.asarray(child).reshape(-1)
+    flat_child = child.reshape(-1)
     packed_ref = np.where(
         flat_child == int(INVALID_NODE), INVALID_REC,
         np.where(leaf_mask, -leaf_ids_flat - 1, flat_child)).astype(np.int32)
-    packed_ref = jnp.asarray(packed_ref.reshape(n_wide, W))
+    packed_ref = packed_ref.reshape(n_wide, W)
 
     has_win = slot_t01 is not None
     GN = max(1, -(-n_wide // LANE))
@@ -157,69 +160,72 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     leaf_rows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
 
     # --- internal records (int32) ---
-    internal = jnp.zeros((n_wide, NODE_ROWS), jnp.int32)
-    internal = internal.at[:, 0:8].set(packed_ref)
+    internal = np.zeros((n_wide, NODE_ROWS), np.int32)
+    internal[:, 0:8] = packed_ref
     for d in range(3):
         lo16 = _bf16_bits_dir(lo[..., d], toward_pos=False)   # (n_wide, 8)
         hi16 = _bf16_bits_dir(up[..., d], toward_pos=True)
-        row = lo16 | (hi16 << 16)                             # (n_wide, 8)
-        internal = internal.at[:, 8 + 8 * d:16 + 8 * d].set(row)
+        internal[:, 8 + 8 * d:16 + 8 * d] = lo16 | (hi16 << 16)
 
-    node_recs = jnp.full((GN * LANE, NODE_ROWS), 0, jnp.int32)
-    node_recs = node_recs.at[:, 0:8].set(INVALID_REC)     # inert padding
-    node_recs = node_recs.at[:n_wide].set(internal)
-    node_table = node_recs.reshape(GN, LANE, NODE_ROWS).transpose(0, 2, 1)
+    node_recs = np.zeros((GN * LANE, NODE_ROWS), np.int32)
+    node_recs[:, 0:8] = INVALID_REC                       # inert padding
+    node_recs[:n_wide] = internal
+    node_table = np.ascontiguousarray(
+        node_recs.reshape(GN, LANE, NODE_ROWS).transpose(0, 2, 1))
 
     # --- leaf records (float32) ---
     starts, counts = decode_leaf(child)
-    starts = jnp.asarray(np.asarray(starts).reshape(-1)[leaf_mask])
-    counts = jnp.asarray(np.asarray(counts).reshape(-1)[leaf_mask])
+    starts = np.asarray(starts).reshape(-1)[leaf_mask]
+    counts = np.asarray(counts).reshape(-1)[leaf_mask]
 
-    pslot = starts[:, None] + jnp.arange(leaf_prims)[None, :]  # (n_leaf, P)
-    pvalid = jnp.arange(leaf_prims)[None, :] < counts[:, None]
-    pslot = jnp.clip(pslot, 0, bvh8.n_prims - 1)
-    prim = bvh8.prim_order[pslot]                              # merged indices
+    pslot = starts[:, None] + np.arange(leaf_prims)[None, :]   # (n_leaf, P)
+    pvalid = np.arange(leaf_prims)[None, :] < counts[:, None]
+    pslot = np.clip(pslot, 0, bvh8.n_prims - 1)
+    prim = np.asarray(bvh8.prim_order)[pslot]                  # merged indices
     # expand prims to slots: (n_leaf, P, factor) -> (n_leaf, 8)
     slots = (prim[:, :, None] * slot_factor
-             + jnp.arange(slot_factor)[None, None, :]).reshape(-1, LEAF_WIDTH)
-    valid = jnp.broadcast_to(pvalid[:, :, None],
-                             pvalid.shape + (slot_factor,)).reshape(
-                                 -1, LEAF_WIDTH)
-    slots = jnp.clip(slots, 0, slot_fields_a.shape[0] - 1)
-    pid = jnp.asarray(slot_pid)[slots]
+             + np.arange(slot_factor)[None, None, :]).reshape(-1, LEAF_WIDTH)
+    valid = np.broadcast_to(pvalid[:, :, None],
+                            pvalid.shape + (slot_factor,)).reshape(
+                                -1, LEAF_WIDTH)
+    slot_fields_a = np.asarray(slot_fields_a, np.float32)
+    slots = np.clip(slots, 0, slot_fields_a.shape[0] - 1)
+    pid = np.asarray(slot_pid)[slots]
     valid = valid & (pid >= 0)
 
-    fa = jnp.where(valid[..., None], jnp.asarray(slot_fields_a)[slots], 0.0)
+    fa = np.where(valid[..., None], slot_fields_a[slots], 0.0)
     chunks = [fa]                                   # each (n_leaf, 8, 9)
     if has_motion:
-        fb = jnp.where(valid[..., None], jnp.asarray(slot_fields_b)[slots], 0.0)
+        fb = np.where(valid[..., None],
+                      np.asarray(slot_fields_b, np.float32)[slots], 0.0)
         chunks.append(fb)
     leaf_cols = [c.transpose(0, 2, 1).reshape(-1, LEAF_WIDTH * c.shape[-1])
                  for c in chunks]
     if has_mask:
-        m = jnp.where(valid, jnp.asarray(slot_mask).astype(jnp.int32)[slots], 0)
+        m = np.where(valid, np.asarray(slot_mask, np.int32)[slots], 0)
         leaf_cols.append(_f32_bits(m))
     if has_kinds:
-        k = jnp.where(valid, jnp.asarray(slot_kind).astype(jnp.int32)[slots], 0)
+        k = np.where(valid, np.asarray(slot_kind, np.int32)[slots], 0)
         leaf_cols.append(_f32_bits(k))
     if has_win:
-        t01 = jnp.asarray(slot_t01, jnp.float32)[slots]       # (n_leaf, 8, 2)
+        t01 = np.asarray(slot_t01, np.float32)[slots]         # (n_leaf, 8, 2)
         # padding slots: window [0,1] (never rejects; fields are inert anyway)
-        leaf_cols.append(jnp.where(valid, t01[..., 0], 0.0))
-        leaf_cols.append(jnp.where(valid, t01[..., 1], 1.0))
-    leaf = jnp.concatenate(leaf_cols, axis=1).astype(jnp.float32)
+        leaf_cols.append(np.where(valid, t01[..., 0], 0.0))
+        leaf_cols.append(np.where(valid, t01[..., 1], 1.0))
+    leaf = np.concatenate(leaf_cols, axis=1).astype(np.float32)
     if n_leaf == 0:
-        leaf = jnp.zeros((1, leaf_rows), jnp.float32)
+        leaf = np.zeros((1, leaf_rows), np.float32)
 
-    leaf_recs = jnp.zeros((GL * LANE, leaf_rows), jnp.float32)
-    leaf_recs = leaf_recs.at[:leaf.shape[0]].set(leaf)
-    leaf_table = leaf_recs.reshape(GL, LANE, leaf_rows).transpose(0, 2, 1)
+    leaf_recs = np.zeros((GL * LANE, leaf_rows), np.float32)
+    leaf_recs[:leaf.shape[0]] = leaf
+    leaf_table = np.ascontiguousarray(
+        leaf_recs.reshape(GL, LANE, leaf_rows).transpose(0, 2, 1))
 
     # --- slot -> merged prim index map (padded slots/records -> -1) ---
-    pid_tab = jnp.where(valid, pid.astype(jnp.int32), -1)
-    pid_map = jnp.full((GL * LANE, LEAF_WIDTH), -1, jnp.int32)
+    pid_tab = np.where(valid, pid.astype(np.int32), -1)
+    pid_map = np.full((GL * LANE, LEAF_WIDTH), -1, np.int32)
     if n_leaf:
-        pid_map = pid_map.at[:n_leaf].set(pid_tab)
+        pid_map[:n_leaf] = pid_tab
     pid_map = pid_map.reshape(GL * LANE * LEAF_WIDTH)
 
     return PackedScene(node_table=node_table, leaf_table=leaf_table,

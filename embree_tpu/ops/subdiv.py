@@ -55,8 +55,9 @@ def catmull_clark(vertices: np.ndarray, face_counts: np.ndarray,
       (verts, quad_indices (Q, 4) int32, base_face (Q,) int32,
        quad_uvm (Q, 6) float32): the all-quad refined mesh, the base-face id
       each quad came from, and the affine quad-local->base-face uv frame
-      [ou, ov, du_u, dv_u, du_v, dv_v]:
-        u_base = ou + u*du_u + v*dv_u ; v_base = ov + u*du_v + v*dv_v.
+      [ou, ov, m2, m3, m4, m5] consumed as (scene.py _kind_test quad path):
+        u_base = ou + u*m2 + v*m4 ; v_base = ov + u*m3 + v*m5
+      (m2,m3 = d(u_base,v_base)/du_local; m4,m5 = d(u_base,v_base)/dv_local).
       verts has the same leading motion axis as the input.
     """
     Vin = np.asarray(vertices, np.float64)

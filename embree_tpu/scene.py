@@ -303,13 +303,18 @@ class _Merger:
         """Add geometry g (with optional instancing transforms xf / xfb for
         the current time window's endpoints)."""
         if isinstance(g, InstanceGeometry):
-            xfs = instance_transform_steps(g)
-            knots = motion_knots([xfs if xfs.ndim == 3 else None],
-                                 self._window)
+            # split at the union of the instance transform's knots AND every
+            # descendant buffer/nested-transform knot, so each sub-window is
+            # knot-free for ALL sampled quantities: transforms sampled at
+            # sub-window endpoints then compose exactly with child buffers
+            # sampled at the same endpoints (a 3-step tent triangle under a
+            # 2-step transform intersects at exact positions — ADVICE r2)
+            knots = self._subtree_knots(g)
             if knots:
                 self._segmented(knots, lambda: self.add(
                     g, gid, inst_stack, inst_mask, xf, xfb))
                 return
+            xfs = instance_transform_steps(g)
             xf0 = _sample_steps(xfs, self._window[0])
             xf1 = _sample_steps(xfs, self._window[1])
             self._add_instance_xf(g.scene, gid, inst_stack, g.mask, xf0, xf1)
@@ -574,6 +579,33 @@ class _Merger:
 
         else:
             raise TypeError(f"unsupported geometry type {type(g)}")
+
+    def _subtree_knots(self, g):
+        """Union of interior motion-knot times over an instance subtree:
+        the instance's own transform steps plus every descendant geometry
+        buffer and nested instance transform. Sub-windows split at this
+        union are linear in every sampled quantity (the MSMBlur time-split
+        correctness requirement, bvh_builder_msmblur.h:456)."""
+        arrays = []
+
+        def walk_geom(cg):
+            if isinstance(cg, InstanceGeometry):
+                xfs = instance_transform_steps(cg)
+                arrays.append(xfs if xfs.ndim == 3 else None)
+                walk_scene(cg.scene)
+            elif isinstance(cg, InstanceArrayGeometry):
+                walk_scene(cg.scene)
+            else:
+                for a in ("vertices", "points", "normals", "tangents"):
+                    arrays.append(getattr(cg, a, None))
+
+        def walk_scene(s):
+            for _, cg in sorted(s._geoms.items()):
+                if getattr(cg, "enabled", True):
+                    walk_geom(cg)
+
+        walk_geom(g)
+        return motion_knots(arrays, self._window)
 
     def _add_instance_xf(self, child_scene, gid, inst_stack, mask, xf0, xf1):
         assert len(inst_stack) < 2, "max 2 instancing levels (MAX_INSTANCE_LEVELS)"
@@ -902,7 +934,8 @@ def _native_build_enabled(n_prims: int) -> bool:
 
 
 def _uvm_identity(n):
-    """Identity affine uv frame [ou, ov, du_u, dv_u, du_v, dv_v]."""
+    """Identity affine uv frame [ou, ov, m2, m3, m4, m5] with
+    u_base = ou + u*m2 + v*m4, v_base = ov + u*m3 + v*m5."""
     m = np.zeros((n, 6), np.float32)
     m[:, 2] = 1.0
     m[:, 5] = 1.0
@@ -949,7 +982,7 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
             org, dir, q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :],
             tnear, tfar)
         m = scene.quad_uvm[i]
-        # affine frame [ou, ov, du_u, dv_u, du_v, dv_v]
+        # affine frame: u_base = m0 + u*m2 + v*m4 (see subdiv.py)
         ug = m[..., 0] + u * m[..., 2] + v * m[..., 4]
         vg = m[..., 1] + u * m[..., 3] + v * m[..., 5]
         return hit, t, ug, vg, ng

@@ -17,6 +17,10 @@ from ..scene import CommittedScene
 # static fields that are python callables and cannot be serialized
 _CALLABLE_FIELDS = ("filters", "user_fns")
 
+# archive format version; bump whenever the CommittedScene array layout or
+# static-field set changes (pre-versioning archives predate round 3)
+FORMAT_VERSION = 2
+
 
 def save_scene(path: str, scene: CommittedScene):
     """Serialize a CommittedScene to an .npz archive."""
@@ -34,7 +38,7 @@ def save_scene(path: str, scene: CommittedScene):
         statics[f] = []
     statics = {k: (list(v) if isinstance(v, tuple) else v)
                for k, v in statics.items()}
-    meta = dict(statics=statics,
+    meta = dict(version=FORMAT_VERSION, statics=statics,
                 n_leaves=len(flat), has_packed=scene.packed is not None,
                 packed_aux=_packed_aux_json(scene.packed))
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
@@ -51,6 +55,12 @@ def _packed_aux_json(packed):
 def load_scene(path: str) -> CommittedScene:
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
+    ver = meta.get("version", 0)
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has format version {ver}, this build reads "
+            f"version {FORMAT_VERSION}; re-commit the scene and save again "
+            "(archives are not migrated across layout changes)")
     flat = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
     # rebuild the children tuple with the same static structure used by flatten
     pa = meta.get("packed_aux")

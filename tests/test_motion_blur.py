@@ -154,3 +154,54 @@ def test_multistep_linear_transform_instance():
         h = jax.jit(intersect)(cs, r)
         assert bool(h.valid[0])
         assert abs(float(h.t[0]) - (5.0 - z)) < 1e-5, (t, float(h.t[0]))
+
+
+def test_instance_knots_split_with_child_buffer_knots():
+    """A 2-step instance transform over a 3-step tent triangle must sample
+    the transform at the union of knot times (ADVICE r2 high): at t=0.25
+    the triangle is at child z=0.5 + transform z=1.0 -> 1.5; at t=0.5
+    child z=1.0 + transform z=2.0 -> 3.0."""
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tent = np.stack([base, base + [0, 0, 1], base])       # z: 0 -> 1 -> 0
+    child = Scene()
+    child.attach(et.TriangleGeometry(tent, np.array([[0, 1, 2]], np.int32)))
+    xf = np.zeros((2, 3, 4), np.float32)
+    xf[:, :3, :3] = np.eye(3)
+    xf[1, 2, 3] = 4.0                                     # z: 0 -> 4
+    s = Scene()
+    s.attach(et.InstanceGeometry(child, xf))
+    cs = s.commit()
+    times = np.array([0.0, 0.25, 0.5, 0.75, 1.0], np.float32)
+    org = jnp.tile(jnp.array([[0.2, 0.2, 10.0]]), (5, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (5, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    z_child = np.array([0.0, 0.5, 1.0, 0.5, 0.0])
+    z_inst = 4.0 * times
+    assert np.all(np.asarray(h.valid))
+    np.testing.assert_allclose(np.asarray(h.t), 10.0 - (z_child + z_inst),
+                               atol=1e-5)
+
+
+def test_nested_instance_inner_transform_knots():
+    """Inner instance's own multi-step transform knots must split the outer
+    window (ADVICE r2 medium): 3-step inner translation z 0->2->2 under a
+    static outer instance."""
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    leaf = Scene()
+    leaf.attach(et.TriangleGeometry(base, np.array([[0, 1, 2]], np.int32)))
+    inner_xf = np.zeros((3, 3, 4), np.float32)
+    inner_xf[:, :3, :3] = np.eye(3)
+    inner_xf[1, 2, 3] = 2.0
+    inner_xf[2, 2, 3] = 2.0                               # z: 0 -> 2 -> 2
+    mid = Scene()
+    mid.attach(et.InstanceGeometry(leaf, inner_xf))
+    outer = Scene()
+    outer.attach(et.InstanceGeometry(mid, affine_identity()))
+    cs = outer.commit()
+    times = np.array([0.0, 0.25, 0.5, 0.75, 1.0], np.float32)
+    org = jnp.tile(jnp.array([[0.2, 0.2, 10.0]]), (5, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (5, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    z = np.array([0.0, 1.0, 2.0, 2.0, 2.0])              # piecewise linear
+    assert np.all(np.asarray(h.valid))
+    np.testing.assert_allclose(np.asarray(h.t), 10.0 - z, atol=1e-5)
