@@ -723,6 +723,40 @@ def _coherence_key(org, dir):
     return (octant << 27) | m27
 
 
+def _residency(packed: PackedScene):
+    """Residency policy: tables small enough stay pinned in VMEM (zero fetch
+    cost); bigger tables live in HBM and stream through per-group staging
+    slots. The reference's analog is the compact/HW-resident accel
+    (kernels/sycl/rthwif_embree_builder.h:81): accel size is bounded by
+    device main memory, never by on-chip SRAM.
+
+    Returns (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
+    scratch_bytes)."""
+    GN, GL = packed.n_node_tiles, packed.n_leaf_tiles
+    has_mask, has_motion = packed.has_mask, packed.has_motion
+    has_kinds, has_win = packed.has_kinds, packed.has_win
+    LCH = (N_FIELDS * (2 if has_motion else 1) + (1 if has_mask else 0)
+           + (1 if has_kinds else 0) + (2 if has_win else 0))
+    NR = 10 + (1 if has_motion else 0) + (1 if has_mask else 0)
+    lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
+    node_bytes = GN * 32 * LANE * 4
+    leaf_bytes = GL * lrows * LANE * 4
+    scratch_bytes = (STACK_BLOCKS * ROWS * LANE * 4
+                     + (8 + NR + 4 + LCH) * ROWS * LANE * 4)
+    budget = VMEM_RESIDENT_BUDGET - scratch_bytes
+    stream_leaves = node_bytes + leaf_bytes > budget
+    # leaves stream first (they are ~3x larger and touched once per visit);
+    # nodes only stream when they alone exceed the budget
+    stream_nodes = stream_leaves and node_bytes > budget - (
+        UGRP * lrows * LANE * 4)
+    resident = (node_bytes if not stream_nodes else UGRP * 32 * LANE * 4) + \
+               (leaf_bytes if not stream_leaves else UGRP * lrows * LANE * 4)
+    vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
+                     VMEM_HARD_LIMIT)
+    return (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
+            scratch_bytes)
+
+
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                     occlusion: bool = False, interpret: bool = False,
                     sort_rays: bool = True, robust: bool = False,
@@ -745,10 +779,24 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     is None and callers fall back to re-intersection.
     """
     R = org.shape[0]
+    R0 = R
+    PROG = UGRP * LANE
     if time is None:
         time = jnp.zeros(R, jnp.float32)
+    (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
+     _scr) = _residency(packed)
     ridx = None
-    if sort_rays and R > LANE:
+    # Reorder scope: the global multi-operand sort costs ~0.1 ms at 1M rays
+    # on an idle chip (perf/sort_tax.py — earlier 25 ms readings were
+    # contention artifacts), and global coherence both groups programs for
+    # the streaming cache AND evens per-program retirement tails, so it is
+    # always preferred. The per-program batched variant (sort_local) is kept
+    # for experiments via EMBREE_TPU_SORT_SCOPE=local.
+    import os as _os
+    _scope = _os.environ.get("EMBREE_TPU_SORT_SCOPE", "global")
+    sort_global = sort_rays and R > LANE and _scope != "local"
+    sort_local = sort_rays and R > LANE and not sort_global
+    if sort_global:
         # multi-operand sort: carrying all ray fields as sort operands beats
         # a 2-operand key/index sort + jnp.take gathers ~1.5x on 1M rays
         # (TPU sorts vectorize across lanes; arbitrary gathers do not)
@@ -762,9 +810,32 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         org = jnp.stack([ox_, oy_, oz_], axis=-1)
         dir = jnp.stack([dx_, dy_, dz_], axis=-1)
 
-    PROG = UGRP * LANE
     B = -(-R // PROG)
     pad = B * PROG - R
+    if sort_local:
+        key = _coherence_key(org, dir)
+        idx0 = jnp.arange(R, dtype=jnp.int32)
+        padk = jnp.iinfo(jnp.int32).max
+
+        def p2(x, fill):
+            return (jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+                if pad else x).reshape(B, PROG)
+
+        (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, time,
+         ridx) = jax.lax.sort(
+             (p2(key, padk), p2(org[:, 0], 0), p2(org[:, 1], 0),
+              p2(org[:, 2], 0), p2(dir[:, 0], 1), p2(dir[:, 1], 1),
+              p2(dir[:, 2], 1), p2(tnear, 1), p2(tfar, 0),
+              p2(ray_mask, 0), p2(time, 0), p2(idx0, jnp.int32(R))),
+             dimension=1, num_keys=1)
+        flat2 = lambda x: x.reshape(B * PROG)[: B * PROG]
+        org = jnp.stack([flat2(ox_), flat2(oy_), flat2(oz_)], axis=-1)
+        dir = jnp.stack([flat2(dx_), flat2(dy_), flat2(dz_)], axis=-1)
+        tnear, tfar = flat2(tnear), flat2(tfar)
+        ray_mask, time, ridx = flat2(ray_mask), flat2(time), flat2(ridx)
+        R = B * PROG           # pad rays now ride along (inactive)
+        pad = 0
 
     def prep(x, fill):
         x = jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
@@ -790,30 +861,6 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     has_kinds = packed.has_kinds
     kind_classes = packed.kind_classes
     has_win = packed.has_win
-    LCH = (N_FIELDS * (2 if has_motion else 1) + (1 if has_mask else 0)
-           + (1 if has_kinds else 0) + (2 if has_win else 0))
-    NR = 10 + (1 if has_motion else 0) + (1 if has_mask else 0)
-    lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
-
-    # --- residency policy: tables small enough stay pinned in VMEM (zero
-    # fetch cost); bigger tables live in HBM and stream through per-group
-    # staging slots. The reference's analog is the compact/HW-resident accel
-    # (kernels/sycl/rthwif_embree_builder.h:81): accel size is bounded by
-    # device main memory, never by on-chip SRAM. ---
-    node_bytes = GN * 32 * LANE * 4
-    leaf_bytes = GL * lrows * LANE * 4
-    scratch_bytes = (STACK_BLOCKS * ROWS * LANE * 4
-                     + (8 + NR + 4 + LCH) * ROWS * LANE * 4)
-    budget = VMEM_RESIDENT_BUDGET - scratch_bytes
-    stream_leaves = node_bytes + leaf_bytes > budget
-    # leaves stream first (they are ~3x larger and touched once per visit);
-    # nodes only stream when they alone exceed the budget
-    stream_nodes = stream_leaves and node_bytes > budget - (
-        UGRP * lrows * LANE * 4)
-    resident = (node_bytes if not stream_nodes else UGRP * 32 * LANE * 4) + \
-               (leaf_bytes if not stream_leaves else UGRP * lrows * LANE * 4)
-    vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
-                     VMEM_HARD_LIMIT)
 
     emit_attrs = want_attrs and packed.tri_attrs
     kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
@@ -898,28 +945,37 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     # implicit leaf slot -> original prim id
     prim_flat = jnp.where(enc_flat >= 0,
                           packed.pid_map[jnp.clip(enc_flat, 0, None)], -1)
+
+    def unsort(*ops):
+        """Restore original ray order. Local-scope sorts moved rays only
+        within their program, so the inverse is a per-program (B, PROG)
+        batched sort by original index; sentinel-index pad rays sort last
+        within their program and fall off the [:R0] slice."""
+        if ridx is None:
+            return tuple(o[:R0] for o in ops)
+        if sort_local:
+            res = jax.lax.sort(
+                (ridx.reshape(B, PROG),)
+                + tuple(o.reshape(B, PROG) for o in ops),
+                dimension=1, num_keys=1)
+            return tuple(r.reshape(B * PROG)[:R0] for r in res[1:])
+        res = jax.lax.sort((ridx,) + ops, num_keys=1)
+        return res[1:]
+
     if not want_attrs:
-        if ridx is not None:
-            _, t_flat, prim_flat = jax.lax.sort(
-                (ridx, t_flat, prim_flat), num_keys=1)
-        return t_flat, prim_flat
+        return unsort(t_flat, prim_flat)
     if not emit_attrs:
-        if ridx is not None:
-            _, t_flat, prim_flat = jax.lax.sort(
-                (ridx, t_flat, prim_flat), num_keys=1)
-        return t_flat, prim_flat, None
+        return unsort(t_flat, prim_flat) + (None,)
     # fast hit path: gather ids while still in sorted order (small-table
     # gathers), then restore original ray order for EVERYTHING in one
     # multi-operand sorting pass (cheaper than per-field jnp.take)
     av = [attr_out[:, i].reshape(B * PROG)[:R] for i in range(5)]
     pclamp = jnp.clip(prim_flat, 0, None)
     ids = [jnp.asarray(tab)[pclamp].astype(jnp.int32) for tab in id_tables]
-    if ridx is not None:
-        res = jax.lax.sort((ridx, t_flat, prim_flat) + tuple(av) + tuple(ids),
-                           num_keys=1)
-        t_flat, prim_flat = res[1], res[2]
-        av = list(res[3:8])
-        ids = list(res[8:])
+    res = unsort(t_flat, prim_flat, *av, *ids)
+    t_flat, prim_flat = res[0], res[1]
+    av = list(res[2:7])
+    ids = list(res[7:])
     attrs = {"u": av[0], "v": av[1],
              "ng": jnp.stack(av[2:5], axis=-1), "ids": tuple(ids)}
     return t_flat, prim_flat, attrs

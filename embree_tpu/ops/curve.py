@@ -461,6 +461,80 @@ def intersect_oriented(org, dir, cp, ncp, tnear, tfar, n_seg: int = 64):
     t_o = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
     u_o = jnp.take_along_axis(u_full, best[..., None], -1)[..., 0]
     v_o = jnp.take_along_axis(vq, best[..., None], -1)[..., 0]
+
+    # --- Newton polish on the exact ruled patch (the reference's endgame,
+    # curve_intersector_oriented.h:144 solve_newton_raphson_loop with
+    # eps = 8 ulp of the projected-curve extent, :34): the chords above only
+    # LOCATE roots; fixed-count Newton iterations on
+    # f(u,v) = [e1,e2] . (P(u,v) - O) converge to the exact surface. Seeded
+    # from (a) the best chord hit and (b) the closest-approach segment (which
+    # recovers silhouette hits the chord test misses). ---
+    dd = jnp.sum(dir * dir, -1, keepdims=True)
+    dnrm = dir * jax.lax.rsqrt(jnp.maximum(dd, 1e-30))
+    ax = jnp.where(jnp.abs(dnrm[..., 0:1]) < 0.9,
+                   jnp.asarray([1.0, 0.0, 0.0]),
+                   jnp.asarray([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(dnrm, ax)
+    e1 = e1 * jax.lax.rsqrt(jnp.maximum(jnp.sum(e1 * e1, -1, keepdims=True),
+                                        1e-30))
+    e2 = jnp.cross(dnrm, e1)
+
+    # projected extent -> absolute on-surface tolerance
+    pc = jnp.concatenate([Lcp, Rcp], axis=-2) - org[..., None, :]
+    ext = jnp.maximum(
+        jnp.max(jnp.abs(jnp.sum(pc * e1[..., None, :], -1)), -1),
+        jnp.max(jnp.abs(jnp.sum(pc * e2[..., None, :], -1)), -1))
+    eps = 32.0 * 1.1920929e-07 * jnp.maximum(ext, 1e-20)
+
+    # seed (b): closest-approach segment midline
+    mid = 0.5 * (lp0 + lp1 + up0 + up1) - O          # (..., n_seg, 3)
+    d2 = (jnp.sum(mid * e1[..., None, :], -1) ** 2
+          + jnp.sum(mid * e2[..., None, :], -1) ** 2)
+    kb = jnp.argmin(d2, axis=-1)
+    u_b = (kb.astype(jnp.float32) + 0.5) / n_seg
+
+    def newton(u, v):
+        f1 = f2 = jnp.zeros_like(u)
+        for _ in range(8):
+            L = eval_bezier(Lcp, u)
+            Rr = eval_bezier(Rcp, u)
+            P = (1.0 - v[..., None]) * L + v[..., None] * Rr - org
+            f1 = jnp.sum(P * e1, -1)
+            f2 = jnp.sum(P * e2, -1)
+            du_ = (1.0 - v[..., None]) * eval_bezier_du(Lcp, u) \
+                + v[..., None] * eval_bezier_du(Rcp, u)
+            dv_ = Rr - L
+            a = jnp.sum(du_ * e1, -1); b = jnp.sum(dv_ * e1, -1)
+            c = jnp.sum(du_ * e2, -1); d_ = jnp.sum(dv_ * e2, -1)
+            det = a * d_ - b * c
+            inv = jnp.where(jnp.abs(det) > 1e-30,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            u = u - (d_ * f1 - b * f2) * inv
+            v = v - (-c * f1 + a * f2) * inv
+        L = eval_bezier(Lcp, u)
+        Rr = eval_bezier(Rcp, u)
+        P = (1.0 - v[..., None]) * L + v[..., None] * Rr
+        f1 = jnp.sum((P - org) * e1, -1)
+        f2 = jnp.sum((P - org) * e2, -1)
+        tn = jnp.sum((P - org) * dir, -1) / dd[..., 0]
+        okn = ((jnp.maximum(jnp.abs(f1), jnp.abs(f2)) < eps)
+               & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0))
+        okn = okn & (tn >= tnear) & (tn <= tfar)
+        return okn, tn, u, v
+
+    ok_a, t_a, u_a, v_a = newton(u_o, v_o)
+    ok_b2, t_b2, u_b2, v_b2 = newton(u_b, jnp.full_like(u_b, 0.5))
+    # nearest converged Newton root; chord hit only as fallback
+    use_b = ok_b2 & (~ok_a | (t_b2 < t_a))
+    okn = ok_a | ok_b2
+    t_n = jnp.where(use_b, t_b2, t_a)
+    u_n = jnp.where(use_b, u_b2, u_a)
+    v_n = jnp.where(use_b, v_b2, v_a)
+    hit = hit | okn
+    t_o = jnp.where(okn, t_n, t_o)
+    u_o = jnp.where(okn, u_n, u_o)
+    v_o = jnp.where(okn, v_n, v_o)
+
     # Ng = cross(dPdu, dPdv) on the reconstructed surface
     # P(u,v) = (1-v) L(u) + v R(u)
     dL = eval_bezier_du(Lcp, u_o)

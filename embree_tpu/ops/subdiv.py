@@ -118,6 +118,14 @@ def _mid_uv(a, b):
     return (0.5 * (a[0] + b[0]), 0.5 * (a[1] + b[1]))
 
 
+def _eff_w(e, crease, edge_faces):
+    """Effective crease weight: boundary edges are infinite creases
+    (catmullclark_ring.h:182 border ring slots get crease inf)."""
+    if len(edge_faces.get(e, ())) == 1:
+        return float("inf")
+    return crease.get(e, 0.0)
+
+
 def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
     nv = Vs[0].shape[0]
     # --- adjacency ---
@@ -159,39 +167,46 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
                 pt = mid  # boundary or sharp crease
             ep_list.append(pt)
 
-        # --- vertex points ---
+        # --- vertex points (catmullclark_ring.h subdivide() vertex rules:
+        # creases count as ANY w > 0, boundary edges are infinite creases,
+        # 2-crease vertices blend smooth<->sharp by 0.5*(w0+w1)) ---
         VP = V.copy()
         for v in range(nv):
             edges = vert_edges.get(v, [])
             fcs = vert_faces.get(v, [])
             if not edges:
                 continue
-            vw = vcrease.get(v, 0.0)
-            if vw >= 1.0 or not np.isfinite(vw) and vw > 0:
-                continue  # pinned corner (vertex crease)
-            boundary_edges = [e for e in edges if len(edge_faces[e]) == 1]
-            sharp_edges = [e for e in edges
-                           if crease.get(e, 0.0) >= 1.0
-                           or len(edge_faces[e]) == 1]
-            if len(sharp_edges) >= 3:
-                continue  # corner: pinned
-            if len(sharp_edges) == 2:
-                # crease/boundary vertex rule: (n0 + 6v + n1) / 8
-                if not smooth_boundary and boundary_edges:
-                    continue
-                o = [e[0] if e[1] == v else e[1] for e in sharp_edges]
-                pt = (V[o[0]] + 6.0 * V[v] + V[o[1]]) / 8.0
-            else:
-                n = len(fcs)
-                if n == 0 or len(edges) != n:
-                    continue  # non-manifold-ish: leave in place
+            n = len(fcs)
+            interior = n > 0 and len(edges) == n
+            if interior:
                 Q = fp[fcs].mean(axis=0)
-                R = np.array([0.5 * (V[e[0]] + V[e[1]])
-                              for e in edges]).mean(axis=0)
-                pt = (Q + 2.0 * R + (n - 3.0) * V[v]) / n
-            if 0.0 < vw < 1.0:
-                pt = (1 - vw) * pt + vw * V[v]   # fractional vertex crease
-            VP[v] = pt
+                Rm = np.array([0.5 * (V[e[0]] + V[e[1]])
+                               for e in edges]).mean(axis=0)
+                v_smooth = (Q + 2.0 * Rm + (n - 3.0) * V[v]) / n
+            else:
+                v_smooth = V[v]
+            vw = vcrease.get(v, 0.0)
+            if vw > 0.0:
+                # vertex crease pre-empts edge-crease rules (ring returns)
+                if vw < 1.0:
+                    VP[v] = (1.0 - vw) * v_smooth + vw * V[v]
+                continue
+            cre = [(e, _eff_w(e, crease, edge_faces)) for e in edges]
+            cre = [(e, w) for e, w in cre if w > 0.0]
+            if not smooth_boundary and any(
+                    len(edge_faces[e]) == 1 for e in edges):
+                continue          # pin-corners boundary mode
+            if len(cre) >= 3:
+                continue          # corner: pinned
+            if len(cre) == 2:
+                (e0, w0), (e1, w1) = cre
+                o0 = e0[0] if e0[1] == v else e0[1]
+                o1 = e1[0] if e1[1] == v else e1[1]
+                v_sharp = (V[o0] + 6.0 * V[v] + V[o1]) / 8.0
+                blend = min(0.5 * (w0 + w1), 1.0)
+                VP[v] = (1.0 - blend) * v_smooth + blend * v_sharp
+            elif interior:
+                VP[v] = v_smooth   # smooth / dart
 
         newVs.append(np.concatenate([VP, fp, np.asarray(ep_list)], axis=0))
 
@@ -218,7 +233,9 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
             else:
                 new_fuv.append(None)
 
-    # --- propagate creases (decremented sharpness) ---
+    # --- propagate creases: Chaikin rule at 2-crease vertices, else w-1
+    # (catmullclark_ring.h:289-291; sub-edge (v, mid) takes its weight from
+    # endpoint v's rule, matching the ring-local storage) ---
     new_crease: Dict[Tuple[int, int], float] = {}
     for e, w in crease.items():
         if w <= 0:
@@ -227,8 +244,17 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
         if ei is None:
             continue
         for v in e:
-            ne = tuple(sorted((v, ei)))
-            new_crease[ne] = max(w - 1.0, 0.0)
+            cre = [(e2, _eff_w(e2, crease, edge_faces))
+                   for e2 in vert_edges.get(v, [])]
+            cre = [(e2, w2) for e2, w2 in cre if w2 > 0.0]
+            if len(cre) == 2 and vcrease.get(v, 0.0) <= 0.0:
+                others = [w2 for e2, w2 in cre if e2 != e]
+                w_other = others[0] if others else w
+                nw = max(0.25 * (3.0 * w + w_other) - 1.0, 0.0)
+            else:
+                nw = max(w - 1.0, 0.0)
+            if nw > 0.0:
+                new_crease[tuple(sorted((v, ei)))] = nw
     new_vcrease = {v: (w if not np.isfinite(w) else w - 1.0)
                    for v, w in vcrease.items()
                    if not np.isfinite(w) or w > 1.0}
@@ -262,25 +288,35 @@ def _limit_project(V, faces, crease, vcrease, smooth_boundary):
     out = V.copy()
     for v, edges in vert_edges.items():
         fcs = vert_faces.get(v, [])
+        n = len(fcs)
+        interior = n > 0 and len(edges) == n
+        if interior:
+            E = np.array([0.5 * (V[e[0]] + V[e[1]])
+                          for e in edges]).sum(axis=0)
+            Fc = np.array([V[faces[fi]].mean(axis=0)
+                           for fi in fcs]).sum(axis=0)
+            l_smooth = (n * n * V[v] + 4.0 * E + Fc) / (n * (n + 5.0))
+        else:
+            l_smooth = V[v]
         vw = vcrease.get(v, 0.0)
         if vw > 0:
-            continue                       # pinned vertex crease
-        sharp_edges = [e for e in edges
-                       if crease.get(e, 0.0) >= 1.0
-                       or len(edge_faces[e]) == 1]
-        if len(sharp_edges) >= 3:
+            if vw < 1.0:                   # semi-sharp vertex crease blend
+                out[v] = (1.0 - vw) * l_smooth + vw * V[v]
+            continue                       # >=1: pinned
+        cre = [(e, _eff_w(e, crease, edge_faces)) for e in edges]
+        cre = [(e, w) for e, w in cre if w > 0.0]
+        if not smooth_boundary and any(
+                len(edge_faces[e]) == 1 for e in edges):
+            continue                       # pin-corners boundary mode
+        if len(cre) >= 3:
             continue                       # corner stays
-        if len(sharp_edges) == 2:
-            if not smooth_boundary and any(
-                    len(edge_faces[e]) == 1 for e in sharp_edges):
-                continue
-            o = [e[0] if e[1] == v else e[1] for e in sharp_edges]
-            out[v] = (V[o[0]] + 4.0 * V[v] + V[o[1]]) / 6.0
-            continue
-        n = len(fcs)
-        if n == 0 or len(edges) != n:
-            continue
-        E = np.array([0.5 * (V[e[0]] + V[e[1]]) for e in edges]).sum(axis=0)
-        Fc = np.array([V[faces[fi]].mean(axis=0) for fi in fcs]).sum(axis=0)
-        out[v] = (n * n * V[v] + 4.0 * E + Fc) / (n * (n + 5.0))
+        if len(cre) == 2:
+            (e0, w0), (e1, w1) = cre
+            o0 = e0[0] if e0[1] == v else e0[1]
+            o1 = e1[0] if e1[1] == v else e1[1]
+            l_sharp = (V[o0] + 4.0 * V[v] + V[o1]) / 6.0
+            blend = min(0.5 * (w0 + w1), 1.0)
+            out[v] = (1.0 - blend) * l_smooth + blend * l_sharp
+        elif interior:
+            out[v] = l_smooth
     return out

@@ -188,13 +188,40 @@ class Scene:
         return self._geoms[geom_id]
 
     # ------------------------------------------------------------------
-    def commit(self) -> CommittedScene:
+    def commit(self, two_level: bool = None):
         """Merge geometries, build + pack the BVH (rtcCommitScene analog).
 
         Runs on host (numpy + CPU jax backend) — eager dispatch to a remote
         TPU is orders of magnitude slower per op; only the finished
         traversable is transferred to the default device.
+
+        two_level: True commits through the TLAS/BLAS path
+        (bvh_builder_twolevel.h role: child scenes share one BLAS each,
+        transform updates never rebuild BLASes); None (auto) picks it when
+        the scene holds >= TWO_LEVEL_AUTO instances. Returns a
+        TwoLevelScene on that path (intersect/occluded accept both).
         """
+        if two_level is None:
+            from .geometry import InstanceArrayGeometry, InstanceGeometry
+            n_inst = sum(
+                (np.asarray(g.transforms).shape[0]
+                 if isinstance(g, InstanceArrayGeometry) else 1)
+                for g in self._geoms.values()
+                if isinstance(g, (InstanceGeometry, InstanceArrayGeometry))
+                and getattr(g, "enabled", True))
+            two_level = n_inst >= TWO_LEVEL_AUTO
+        if two_level:
+            from .tlas import TwoLevelScene, build_two_level, update_transforms
+            prev = self.committed
+            if (isinstance(prev, TwoLevelScene)
+                    and self.quality == BuildQuality.REFIT):
+                try:
+                    self.committed = update_transforms(prev, self)
+                    return self.committed
+                except AssertionError:
+                    pass          # topology changed: full rebuild below
+            self.committed = build_two_level(self)
+            return self.committed
         self._progress(0.0)
         m = _Merger()
         for gid, g in sorted(self._geoms.items()):
@@ -227,6 +254,11 @@ class Scene:
 # =====================================================================
 
 _INV = int(INVALID_ID)
+
+# auto two-level threshold: flattening replicates child prims per instance,
+# so many instances explode the merged table; the TLAS path shares BLASes
+# (bvh_builder_twolevel.h role). 16 instances ~ where sharing wins.
+TWO_LEVEL_AUTO = 16
 
 
 class _Merger:
@@ -1179,6 +1211,9 @@ def intersect(scene: CommittedScene, rays: RayBatch,
     The reference rtcIntersect1 has no gradient path at all, so this is the
     apples-to-apples configuration for benchmarks.
     """
+    if not isinstance(scene, CommittedScene):   # TwoLevelScene duck-dispatch
+        from .tlas import intersect_two_level
+        return intersect_two_level(scene, rays)
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
 
@@ -1225,6 +1260,9 @@ def intersect(scene: CommittedScene, rays: RayBatch,
 def occluded(scene: CommittedScene, rays: RayBatch,
              backend: Optional[str] = None) -> jnp.ndarray:
     """Any-hit query. Returns bool array (reference encodes tfar=-inf, ray.h:196)."""
+    if not isinstance(scene, CommittedScene):   # TwoLevelScene duck-dispatch
+        from .tlas import occluded_two_level
+        return occluded_two_level(scene, rays)
     shape = rays.shape
     flat = rays.reshape(int(np.prod(shape)) if shape else 1)
     best = _traverse_select(scene, flat, occlusion=True, backend=backend)

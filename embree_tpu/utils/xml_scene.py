@@ -139,7 +139,7 @@ def _add_geometry(out: XMLScene, elem, xfm):
         ec = _ints(elem.find("edge_creases")).reshape(-1, 2)
         ew = _nums(elem.find("edge_crease_weights"))
         for (a, b), w in zip(ec, ew):
-            creases[(int(a), int(b))] = float(w)
+            creases[tuple(sorted((int(a), int(b))))] = float(w)
         vcreases = {}
         vc = elem.find("vertex_creases")
         if vc is not None:
@@ -148,10 +148,10 @@ def _add_geometry(out: XMLScene, elem, xfm):
             for vid, w in zip(vids, vws):
                 if w > 0:
                     vcreases[int(vid)] = float(w)
-        # level 4 approximates the reference's adaptive tessellation of the
+        # level 5 approximates the reference's adaptive tessellation of the
         # limit surface closely enough for golden-image parity
         out.geometries.append(SubdivisionGeometry(
-            pos, faces, idx, levels=4, creases=creases or None,
+            pos, faces, idx, levels=5, creases=creases or None,
             vertex_creases=vcreases or None))
     elif tag == "Curves" or tag in ("BezierCurves", "BSplineHair", "BezierHair",
                                     "Hair"):

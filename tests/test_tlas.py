@@ -13,6 +13,7 @@ import embree_tpu as et
 from embree_tpu.tlas import (build_two_level, intersect_two_level,
                              update_transforms)
 from test_bvh import make_sphere_mesh, random_rays
+from embree_tpu.scene import Scene, intersect
 
 
 def _child():
@@ -101,3 +102,71 @@ def test_non_uniform_scale_round_prims_exact():
     r2 = et.make_rays(jnp.array([[3.9, 10.0, 0]]), jnp.array([[0.0, -1.0, 0]]))
     h2 = jax.jit(intersect_two_level)(tl, r2)
     assert bool(h2.valid[0])
+
+
+def test_overflow_waves_exact_beyond_C():
+    """>C overlapping instances along one ray: the wave loop must keep
+    exactness (the round-2 discarded-overflow hole)."""
+    child = Scene()
+    child.attach(et.TriangleGeometry(
+        np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32),
+        np.array([[0, 1, 2]], np.int32)))
+    s = Scene()
+    for k in range(20):         # stacked along z, all overlapping the ray
+        xf = np.hstack([np.eye(3), [[0], [0], [-float(k)]]]).astype(np.float32)
+        s.attach(et.InstanceGeometry(child, xf))
+    tl = build_two_level(s)
+    rays = et.make_rays(
+        jnp.array([[0.1, 0.0, 0.5], [0.1, 0.0, -25.0]]),
+        jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]]))
+    h = jax.jit(intersect_two_level)(tl, rays)
+    np.testing.assert_allclose(np.asarray(h.t), [0.5, 6.0], atol=1e-5)
+
+
+def test_motion_instance_transforms():
+    """2-step instance transforms sample at ray time on the TLAS path
+    (round 2 used xfs[0] only, silently dropping the motion)."""
+    child = Scene()
+    child.attach(et.TriangleGeometry(
+        np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32),
+        np.array([[0, 1, 2]], np.int32)))
+    s = Scene()
+    xfm = np.zeros((2, 3, 4), np.float32)
+    xfm[:, :3, :3] = np.eye(3)
+    xfm[0, 2, 3] = 5.0
+    xfm[1, 2, 3] = 7.0
+    s.attach(et.InstanceGeometry(child, xfm))
+    tl = build_two_level(s)
+    rays = et.make_rays(jnp.array([[0.1, 0.0, 10.0]] * 3),
+                        jnp.array([[0.0, 0.0, -1.0]] * 3),
+                        time=jnp.array([0.0, 0.5, 1.0]))
+    h = jax.jit(intersect_two_level)(tl, rays)
+    np.testing.assert_allclose(np.asarray(h.t), [5.0, 4.0, 3.0], atol=1e-5)
+
+
+def test_commit_auto_two_level_matches_flattening():
+    """Scene.commit auto-selects the TLAS path above TWO_LEVEL_AUTO
+    instances; hits must match the flattened commit exactly."""
+    rng = np.random.default_rng(3)
+    child = Scene()
+    child.attach(et.TriangleGeometry(
+        rng.uniform(-0.4, 0.4, (12, 3)).astype(np.float32),
+        np.arange(12, dtype=np.int32).reshape(-1, 3)))
+    s = Scene()
+    for k in range(24):
+        xf = np.hstack([np.eye(3),
+                        rng.uniform(-3, 3, (3, 1))]).astype(np.float32)
+        s.attach(et.InstanceGeometry(child, xf))
+    cs_tl = s.commit()                    # auto: 24 >= 16 -> two-level
+    from embree_tpu.tlas import TwoLevelScene
+    assert isinstance(cs_tl, TwoLevelScene)
+    cs_flat = s.commit(two_level=False)
+    org = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    rays = et.make_rays(jnp.asarray(org), jnp.asarray(d))
+    h1 = jax.jit(intersect)(cs_tl, rays)
+    h2 = jax.jit(intersect)(cs_flat, rays)
+    np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h2.valid))
+    np.testing.assert_allclose(np.asarray(h1.t)[np.asarray(h1.valid)],
+                               np.asarray(h2.t)[np.asarray(h2.valid)],
+                               rtol=1e-5, atol=1e-5)
