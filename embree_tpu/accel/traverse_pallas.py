@@ -68,6 +68,16 @@ VMEM_HARD_LIMIT = 100 << 20
 # the stat.h traversal-counter analog). May hold a traced value under jit.
 LAST_STEPS = [None]
 
+# debug: make the first fetch trip use the masked-merge path (bisection aid)
+_DEBUG_COND_FIRST = [False]
+
+# phase-ablation toggles for perf work (EMBREE_TPU_ABLATE=pin24,nosort,...):
+# pinned-step-count timing with phases removed; results are garbage
+import os as _os_mod
+_ABLATE = set(filter(None, _os_mod.environ.get(
+    "EMBREE_TPU_ABLATE", "").split(",")))
+_SORT_IMPL = _os_mod.environ.get("EMBREE_TPU_SORTIMPL", "pergroup")
+
 # Bitonic network for 8 elements: (k, j) compare-exchange stages.
 _SORT_STAGES = ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1))
 
@@ -192,8 +202,15 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         lane = rec8 % LANE
         need_ref[:] = jnp.where(need8, 1, 0) + zeroR
 
-        def body(state):
-            _, trips = state
+        def serve(first: bool):
+            """One trip: every group gathers its min outstanding tile.
+            first=True writes UNCONDITIONALLY (every needed lane is served
+            in exactly one trip, and ok-masks gate unserved garbage out of
+            the compute phase) — skipping the read-merge-store halves the
+            common 1-trip cost. Each group's whole record is ONE
+            (rows, LANE) lane-gather: a 32/72-row gather costs the same as
+            an 8-row one (perf/micro_ops.py), so the per-chunk gather loop
+            collapses into per-chunk register slices of one gather."""
             need = need_ref[:] > 0
             gcur = jnp.min(jnp.where(need, grp, jnp.int32(Gp)),
                            axis=1, keepdims=True)              # (ROWS,1)
@@ -225,19 +242,28 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 else:
                     tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
                 li = lane[8 * u:8 * u + 8]
-                selu = sel[8 * u:8 * u + 8]
-                for k in range(chunks):
-                    got = jnp.take_along_axis(tile[8 * k:8 * k + 8], li,
-                                              axis=1)
-                    buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
-                        selu, got, buf_ref[k, 8 * u:8 * u + 8])
+                idx = jnp.concatenate([li] * chunks, axis=0)   # (rows,128)
+                got = jnp.take_along_axis(tile[:8 * chunks], idx, axis=1)
+                if first:
+                    for k in range(chunks):
+                        buf_ref[k, 8 * u:8 * u + 8] = got[8 * k:8 * k + 8]
+                else:
+                    selu = sel[8 * u:8 * u + 8]
+                    for k in range(chunks):
+                        buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                            selu, got[8 * k:8 * k + 8],
+                            buf_ref[k, 8 * u:8 * u + 8])
             left = need & ~sel
             need_ref[:] = jnp.where(left, 1, 0) + zeroR * 0
-            return jnp.min(jnp.where(left, grp, jnp.int32(Gp))), trips + 1
+            return jnp.min(jnp.where(left, grp, jnp.int32(Gp)))
 
-        g0 = jnp.min(jnp.where(need8, grp, jnp.int32(Gp)))
+        def body(state):
+            _, trips = state
+            return serve(False), trips + 1
+
+        g0 = serve(not _DEBUG_COND_FIRST[0])
         _, trips = jax.lax.while_loop(
-            lambda s: s[0] < Gp, body, (g0, jnp.int32(0)))
+            lambda s: s[0] < Gp, body, (g0, jnp.int32(1)))
         return need8, trips
 
     def step(ntrips, ltrips):
@@ -253,12 +279,18 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
         at_node8 = act8 & (cur8 >= 0)
         at_leaf8 = act8 & (cur8 < 0)
-        node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
-                             jnp.where(at_node8, cur8, 0), at_node8,
-                             nstage_ref, ntag_ref, nsem, 0)
-        leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
-                             jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8,
-                             lstage_ref, ltag_ref, lsem, 1)
+        if "nofetchn" in _ABLATE:
+            node_ok8, nt = at_node8, jnp.int32(0)
+        else:
+            node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
+                                 jnp.where(at_node8, cur8, 0), at_node8,
+                                 nstage_ref, ntag_ref, nsem, 0)
+        if "nofetchl" in _ABLATE:
+            leaf_ok8, lt = at_leaf8, jnp.int32(0)
+        else:
+            leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
+                                 jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8,
+                                 lstage_ref, ltag_ref, lsem, 1)
         stall8 = act8 & ~(node_ok8 | leaf_ok8)
 
         # ======== tile-parallel elementwise phases: ALL groups at once =====
@@ -547,46 +579,85 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                           INF_BITS | rowc)
         lminR = jnp.min(lkeyR.reshape(UGRP, 8, LANE), axis=1)   # (U,128)
 
-        # ======== per-group phase: ordered descent + push-image prep ======
-        # The ONLY per-group work left: 16 independent 6-stage bitonic
-        # sorts over (8,128) register tiles (these pipeline as 16 parallel
-        # instruction streams) + the 2-gather push-image alignment. Results
-        # are concatenated back into full-width arrays; stack traffic and
-        # the advance state machine below are tile-parallel.
+        # ======== ordered descent + push-image prep: FULL-WIDTH ===========
+        # v10: the former 16 per-group bitonic sorts + 2-gather alignments
+        # are single-issue full-width butterfly ops. Partner exchange
+        # x[i ^ j] within every 8-row block = two static pltpu.rolls + one
+        # select (block boundaries never crossed: bit j of i is clear
+        # exactly when i+j stays in-block); the push-image gather becomes a
+        # static block-reversal (XOR 7 = three butterflies) followed by a
+        # per-lane VARIABLE block-rotation done in 3 conditional-roll steps.
+        def bfly(x, j):    # x[i ^ j] per row, full width
+            # shifts must be non-negative: -j mod ROWS
+            return jnp.where((rowall & j) != 0,
+                             pltpu.roll(x, shift=j, axis=0),
+                             pltpu.roll(x, shift=ROWS - j, axis=0))
+
+        def brot(x, s):    # x[block, (i - s) & 7]: static in-block rotation
+            return jnp.where(rowc >= s,
+                             pltpu.roll(x, shift=s, axis=0),
+                             pltpu.roll(x, shift=ROWS + s - 8, axis=0))
+
         h8 = expand(hR)
-        sp8u_all = sp8
-        sorted_rows = []
-        aligned_rows = []
-        for u in range(UGRP):
-            sl = slice(8 * u, 8 * u + 8)
-            # ordered descent: 6-stage bitonic over the 8 (key,ref) rows
-            key = keyR[sl]
-            ref = crefs[sl]
-            for k, j in _SORT_STAGES:
-                perm8 = row8 ^ j
-                keepmin = ((row8 & k) == 0) == ((row8 & j) == 0)
-                key_p = jnp.take_along_axis(key, perm8, axis=0)
-                ref_p = jnp.take_along_axis(ref, perm8, axis=0)
+        if _SORT_IMPL == "pergroup":
+            # v9 form: 16 independent per-group (8,128) bitonic sorts +
+            # 2-gather push-image alignment (kept selectable: measured
+            # within noise of the butterfly form on v5e)
+            sorted_rows = []
+            aligned_rows = []
+            for u in range(UGRP):
+                sl = slice(8 * u, 8 * u + 8)
+                key = keyR[sl]
+                ref = crefs[sl]
+                for k, j in (() if "nosort" in _ABLATE else _SORT_STAGES):
+                    perm8 = row8 ^ j
+                    keepmin = ((row8 & k) == 0) == ((row8 & j) == 0)
+                    key_p = jnp.take_along_axis(key, perm8, axis=0)
+                    ref_p = jnp.take_along_axis(ref, perm8, axis=0)
+                    swap = (key_p < key) == keepmin
+                    key = jnp.where(swap, key_p, key)
+                    ref = jnp.where(swap, ref_p, ref)
+                sorted_rows.append(ref)
+                h8u = h8[sl]
+                items = jnp.take_along_axis(
+                    ref, jnp.clip(h8u - 1 - row8, 0, 7), axis=0)
+                aligned_rows.append(jnp.take_along_axis(
+                    items, (row8 - sp8[sl]) & 7, axis=0))
+            refS = jnp.concatenate(sorted_rows, axis=0)   # (ROWS,128)
+            alignedR = jnp.concatenate(aligned_rows, axis=0)
+        else:
+            key = keyR
+            ref = crefs
+            for k, j in (() if "nosort" in _ABLATE else _SORT_STAGES):
+                key_p = bfly(key, j)
+                ref_p = bfly(ref, j)
+                # direction/partner bits come from the BLOCK-LOCAL row
+                # (rowc): the k=8 stage's direction bit is global-row bit 3,
+                # which alternates per block and would sort odd blocks
+                # descending
+                keepmin = ((rowc & k) == 0) == ((rowc & j) == 0)
                 # keys distinct, so (>=) == (>): keepmin lanes swap when the
                 # partner is smaller, the others when it is larger
                 swap = (key_p < key) == keepmin
                 key = jnp.where(swap, key_p, key)
                 ref = jnp.where(swap, ref_p, ref)
-            sorted_rows.append(ref)
-            # push image: stack row image aligned[c] = sorted[h-1-((c-sp)&7)]
-            # (farthest pushed first so the 2nd-nearest ends on top)
-            h8u = h8[sl]
-            items = jnp.take_along_axis(ref, jnp.clip(h8u - 1 - row8, 0, 7),
-                                        axis=0)
-            aligned_rows.append(jnp.take_along_axis(
-                items, (row8 - sp8u_all[sl]) & 7, axis=0))
-        refS = jnp.concatenate(sorted_rows, axis=0)       # (ROWS,128)
-        alignedR = jnp.concatenate(aligned_rows, axis=0)
+            refS = ref                                    # (ROWS,128)
+
+            # aligned[c] = sorted[(h - 1 - ((c - sp) & 7)) & 7]
+            #            = rot(reverse(sorted), (h + sp) & 7) (farthest
+            # pushed first so the 2nd-nearest ends on top; rows outside the
+            # push range carry garbage the range mask below never reads)
+            rev = bfly(bfly(bfly(refS, 1), 2), 4)         # x[i ^ 7]
+            amt = (h8 + sp8) & 7                          # per-lane rotation
+            alignedR = rev
+            for bit in (4, 2, 1):
+                alignedR = jnp.where((amt & bit) != 0, brot(alignedR, bit),
+                                     alignedR)
 
         def bbc(x):   # block-reduce a one-hot/row-0 image -> block-broadcast
             return expand(jnp.sum(x.reshape(UGRP, 8, LANE), axis=1))
 
-        next8 = expand(refS.reshape(UGRP, 8, LANE)[:, 0, :])
+        next8 = bbc(jnp.where(rowc == 0, refS, 0))
 
         # ======== stack: tile-parallel static-block push/pop ==============
         # Stack entry e of group u lives at stack_ref[e//8, 8u + e%8, lane]:
@@ -609,7 +680,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             inr = (local >= 0) & (local < npush8)
             stack_ref[b] = jnp.where(inr, alignedR, blk)
 
-        for b in range(STACK_HOT):
+        for b in range(0 if "nostack" in _ABLATE else STACK_HOT):
             blk_ops(b)
         if STACK_HOT < STACK_BLOCKS:
             @pl.when(jnp.max(new_sp8) > 8 * STACK_HOT)
@@ -665,6 +736,8 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         return it + UNROLL, n_active, ntrips, ltrips
 
     def cond(state):
+        if "pin24" in _ABLATE:
+            return state[0] < 24
         return (state[1] > 0) & (state[0] < MAX_STEPS)
 
     live0 = tnear8 <= tfar8

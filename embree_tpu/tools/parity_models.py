@@ -1,0 +1,178 @@
+"""Models-tier image parity vs /root/reference/tests/models goldens.
+
+The reference renders each .ecs command file (camera + scene XML) through
+embree_viewer's DEFAULT shader (viewer_device.cpp:204 renderPixelStandard:
+color = material Kd * dot(-dir, faceforward(Ns)); background black; motion
+scenes sample a per-pixel random time with the MurmurHash3+LCG
+RandomSampler, random_sampler.h) and checks in `<name>.ecs.embree_viewer.exr`
+goldens at 512x512. This tool does the same against OUR renderer.
+
+Usage:
+  python -m embree_tpu.tools.parity_models [--glob PAT] [--out models_parity.json]
+"""
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import os
+import time
+
+import numpy as np
+
+MODELDIR = "/root/reference/tests/models"
+
+
+def parse_ecs(path):
+    """Parse the .ecs command file: -i scene.xml + camera flags."""
+    toks = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#"):
+                continue
+            toks += line.split()
+    out = dict(xml=None, vp=None, vi=None, vu=(0.0, 1.0, 0.0), fov=90.0,
+               lefthanded=False)
+    i = 0
+    while i < len(toks):
+        t = toks[i].lstrip("-")
+        if t == "i":
+            out["xml"] = os.path.join(os.path.dirname(path), toks[i + 1])
+            i += 2
+        elif t in ("vp", "vi", "vu"):
+            out[t] = tuple(float(x) for x in toks[i + 1:i + 4])
+            i += 4
+        elif t == "fov":
+            out["fov"] = float(toks[i + 1])
+            i += 2
+        elif t == "lefthanded":
+            out["lefthanded"] = True
+            i += 1
+        else:
+            i += 1
+    return out
+
+
+def _pixel_times(width, height):
+    """Per-pixel ray time for motion scenes: RandomSampler_init(x,y,0) then
+    get1D (random_sampler.h MurmurHash3 + LCG) — bit-exact."""
+    x = np.arange(width, dtype=np.uint32)[None, :]
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    pixel_id = (x | (y << np.uint32(16))).astype(np.uint32)
+
+    def mix(h, k):
+        k = (k * np.uint32(0xcc9e2d51)).astype(np.uint32)
+        k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype(np.uint32)
+        k = (k * np.uint32(0x1b873593)).astype(np.uint32)
+        h = (h ^ k).astype(np.uint32)
+        h = (((h << np.uint32(13)) | (h >> np.uint32(19))).astype(np.uint32)
+             * np.uint32(5) + np.uint32(0xe6546b64)).astype(np.uint32)
+        return h
+
+    def fin(h):
+        h = (h ^ (h >> np.uint32(16))).astype(np.uint32)
+        h = (h * np.uint32(0x85ebca6b)).astype(np.uint32)
+        h = (h ^ (h >> np.uint32(13))).astype(np.uint32)
+        h = (h * np.uint32(0xc2b2ae35)).astype(np.uint32)
+        return (h ^ (h >> np.uint32(16))).astype(np.uint32)
+
+    with np.errstate(over="ignore"):
+        s = fin(mix(mix(np.uint32(0), pixel_id), np.uint32(0)))
+        s = (s * np.uint32(1664525) + np.uint32(1013904223)).astype(np.uint32)
+    return ((s >> np.uint32(1)).astype(np.float32)
+            * np.float32(4.656612873077392578125e-10))
+
+
+def run_ecs(ecs_path, size=512):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.viewer import ispc_camera_rays
+    from ..scene import intersect
+    from ..utils.xml_scene import load_xml, to_scene
+
+    cfg = parse_ecs(ecs_path)
+    xs = load_xml(cfg["xml"])
+    if not xs.geometries:
+        raise ValueError("no geometries parsed")
+    cs = to_scene(xs).commit()
+    vp = cfg["vp"] or (0.0001, 0.0001, -3.0)
+    vi = cfg["vi"] or (0.0, 0.0, 0.0)
+    kd = jnp.asarray(np.stack(xs.kd).astype(np.float32))
+    has_motion = getattr(cs, "has_motion", False)
+    times = jnp.asarray(_pixel_times(size, size)) if has_motion else 0.0
+
+    def render(cs):
+        rays = ispc_camera_rays(np.asarray(vp), np.asarray(vi),
+                                np.asarray(cfg["vu"]), cfg["fov"],
+                                size, size, time=times)
+        hits = intersect(cs, rays)
+        # default shader: Kd * dot(-dir, faceforward(normalize(Ng)))
+        ng = hits.ng
+        ng = ng * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(ng * ng, -1, keepdims=True), 1e-30))
+        cosv = jnp.sum(-rays.dir * ng, -1)
+        shade = jnp.abs(cosv)                  # face_forward then dot(-d, Ns)
+        gid = jnp.clip(hits.geom_id, 0, kd.shape[0] - 1).astype(jnp.int32)
+        col = kd[gid] * shade[..., None]
+        return jnp.where(hits.valid[..., None], col, 0.0)
+
+    return np.asarray(jax.jit(render)(cs))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--glob", default=os.path.join(MODELDIR, "*", "*.ecs"))
+    ap.add_argument("--out", default="models_parity.json")
+    ap.add_argument("--threshold", type=float, default=55.0)
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from ..utils.exr import compare_images, quantize8, read_exr
+
+    results = {}
+    n_pass = n_fail = 0
+    ecss = sorted(globmod.glob(args.glob))
+    ecss = [e for e in ecss
+            if os.path.exists(e + ".embree_viewer.exr")]
+    if args.limit:
+        ecss = ecss[:args.limit]
+    n_skip = 0
+    for ecs in ecss:
+        name = os.path.relpath(ecs, MODELDIR)
+        t0 = time.time()
+        if parse_ecs(ecs)["xml"] is None:
+            # procedural command-line scenes (--point-sphere + --min-width):
+            # the min-width feature is not implemented yet — record the gap
+            results[name] = "SKIP: no -i scene (min-width procedural)"
+            n_skip += 1
+            print(f"{name}: SKIP (procedural min-width scene)", flush=True)
+            continue
+        try:
+            img = run_ecs(ecs)
+            gold = read_exr(ecs + ".embree_viewer.exr")
+            err = compare_images(quantize8(img), gold)
+            ok = err <= args.threshold
+            results[name] = round(err, 2)
+            n_pass += ok
+            n_fail += not ok
+            print(f"{name}: {err:.1f} [{time.time()-t0:.0f}s] "
+                  f"{'PASS' if ok else 'FAIL'}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ERROR {type(e).__name__}: {e}"
+            n_fail += 1
+            print(f"{name}: ERROR {e}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump({"pass": n_pass, "fail": n_fail, "skip": n_skip,
+                   "threshold": args.threshold, "results": results}, f,
+                  indent=1)
+    print(f"\n{n_pass}/{n_pass+n_fail} model goldens within "
+          f"{args.threshold} ({n_skip} skipped); -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,147 @@ def _xfm_positions(xfm, pos, radius_col=False):
     return _apply_xfm(xfm, pos)
 
 
+def _furball(elem, xfm):
+    """Procedural fur ball (xml_loader.cpp:1312 loadFurBall): a triangle
+    sphere + N hairs placed with the loader's manual LCG (seed 1234) —
+    reproduced exactly so the models-tier goldens compare pixel-for-pixel."""
+    p = lambda name, dv: float(elem.get(name, dv))
+    r = p("radius", 10.0)
+    slices = int(p("slices", 60))
+    slabs = int(p("slabs", 60))
+    nhairs = int(p("nhairs", 30000))
+    # NOTE: int() truncation on the defaults mirrors the reference's
+    # (accidental) int cast of parm_float for hairwidth/hairlength
+    hairwidth = int(p("hairwidth", 0)) if elem.get("hairwidth") else r / 100.0
+    hairlength = int(p("hairlength", 0)) if elem.get("hairlength") else r / 10.0
+    ht = elem.get("hairtype", "bezier_round")
+    basis, kind = (("linear", "flat") if ht == "linear_flat" else
+                   ("linear", "round") if ht == "linear_round" else
+                   tuple(ht.rsplit("_", 1)))
+    kind = {"flat": "flat", "round": "round",
+            "normaloriented": "oriented"}[kind]
+    basis = {"catmulrom": "catmull_rom", "bezier": "bezier",
+             "bspline": "bspline", "hermite": "hermite",
+             "linear": "linear"}[basis]
+
+    # --- sphere mesh ---
+    nv = slices * (slabs - 1) + 2
+    data = np.zeros((nv, 3), np.float32)
+    phi = np.pi / slabs * (np.arange(1, slabs)[:, None])
+    theta = 2.0 * np.pi / slices * np.arange(slices)[None, :]
+    data[: slices * (slabs - 1)] = np.stack(
+        [r * np.sin(phi) * np.cos(theta),
+         (r * np.cos(phi)) * np.ones_like(theta),
+         r * np.sin(phi) * np.sin(theta)], -1).reshape(-1, 3)
+    top, bot = nv - 2, nv - 1
+    data[top] = (0, r, 0)
+    data[bot] = (0, -r, 0)
+    tris = []
+    sl = np.arange(slices)
+    sl1 = (sl + 1) % slices
+    tris.append(np.stack([np.full(slices, top), sl, sl1], -1))
+    for slab in range(slabs - 2):
+        a, b = slab * slices, (slab + 1) * slices
+        tris.append(np.stack([a + sl, b + sl, b + sl1], -1))
+        tris.append(np.stack([a + sl, b + sl1, a + sl1], -1))
+    tris.append(np.stack([np.full(slices, bot), bot - slices - 1 + sl,
+                          bot - slices - 1 + sl1], -1))
+    tri_idx = np.concatenate(tris).astype(np.int32)
+    geoms = [TriangleGeometry(_xfm_positions(xfm, data), tri_idx)]
+
+    # --- hairs: manual LCG (glibc-like constants), exact bit sequence ---
+    a_, c_, m_ = np.uint64(1103515245), np.uint64(12345), np.uint64(1 << 31)
+    state = np.uint64(1234)
+    n_draw = 2 + nhairs * 3 + (nhairs if basis == "bspline" else 0)
+    seq = np.empty(max(n_draw, 8), np.float64)
+    for i in range(seq.shape[0]):
+        state = (a_ * state + c_) % m_
+        seq[i] = float(state) / float(m_)
+    k = 0
+
+    def draw(n):
+        nonlocal k
+        v = seq[k:k + n]
+        k += n
+        return v
+
+    t0 = 2.0 * np.pi * draw(1)[0]
+    p0 = np.arccos(1 - 2 * draw(1)[0])
+    last = np.array([np.sin(p0) * np.cos(t0), np.cos(p0),
+                     np.sin(p0) * np.sin(t0)], np.float32)
+    is_hermite = basis == "hermite"
+    npts = 2 if is_hermite else 4
+    pos = np.zeros((nhairs * npts, 4), np.float32)
+    nrm = np.zeros((nhairs * npts, 3), np.float32)
+    tans = np.zeros((nhairs * npts, 4), np.float32)
+    for i in range(nhairs):
+        th = 2.0 * np.pi * draw(1)[0]
+        ph = np.arccos(1 - 2 * draw(1)[0])
+        d = np.array([np.sin(ph) * np.cos(th), np.cos(ph),
+                      np.sin(ph) * np.sin(th)], np.float32)
+        pp = np.cross(d, last)
+        pp = pp / max(np.linalg.norm(pp), 1e-20)
+        last = pp
+        start = d * r * (1.0 - 0.01 * hairlength)
+        mid = d * r * (1.0 + 0.03 * hairlength)
+        mid2 = d * r * (1.0 + 0.07 * hairlength)
+        stop = d * r * (1.0 + 0.07 * hairlength
+                        + 0.03 * hairlength * draw(1)[0])
+        if basis == "bezier":
+            stop = stop + pp * r * 0.051 * hairlength
+        elif basis == "linear":
+            mid = mid + pp * r * 0.001 * hairlength
+            mid2 = mid2 + pp * r * 0.021 * hairlength
+            stop = stop + pp * r * 0.051 * hairlength
+        elif basis == "bspline":
+            mid2 = mid2 + pp * r * 0.021 * hairlength
+            stop = d * r * (1.0 + 0.07 * hairlength
+                            + 0.13 * hairlength * draw(1)[0])
+            stop = stop + pp * r * 0.081 * hairlength
+        if is_hermite:
+            pos[i * 2] = (*start, hairwidth)
+            pos[i * 2 + 1] = (*stop, 0.0)
+            td = d / np.linalg.norm(d)
+            tm = pp / max(np.linalg.norm(pp), 1e-20)
+            tans[i * 2] = (*td, 0.2)
+            tans[i * 2 + 1] = (*tm, 0.8)
+            n0 = np.cross(d, pp)
+            nrm[i * 2] = nrm[i * 2 + 1] = n0 / max(np.linalg.norm(n0), 1e-20)
+        else:
+            pos[i * 4 + 0] = (*start, hairwidth)
+            pos[i * 4 + 1] = (*mid, hairwidth)
+            pos[i * 4 + 2] = (mid[0], mid2[1], mid2[2], hairwidth * 0.5)
+            pos[i * 4 + 3] = (*stop, 0.0)
+            if kind == "oriented":
+                for j, (va, vb) in enumerate(((d, pp), (start - mid, pp),
+                                              (mid - mid2, pp),
+                                              (mid2 - stop, pp))):
+                    n0 = np.cross(va, vb)
+                    nrm[i * 4 + j] = n0 / max(np.linalg.norm(n0), 1e-20)
+    if basis in ("bspline", "catmull_rom"):
+        # tip-width tweak (xml_loader.cpp:1526)
+        pos[1::4, 3] = 0.5 * hairwidth
+        pos[2::4, 3] = 0.01 * hairwidth
+        pos[3::4, 3] = 0.0
+    # (fix_bspline_end_points only rewrites NaN control points — no-op here,
+    # xml_loader.cpp:1166-1179)
+    pos = _xfm_positions(xfm, pos, radius_col=True)
+    if basis == "linear":
+        idx = (np.arange(nhairs)[:, None] * 4
+               + np.arange(3)[None, :]).reshape(-1).astype(np.int32)
+        geoms.append(LineSegmentsGeometry(
+            pos, idx, kind="round" if kind == "round" else "flat"))
+    else:
+        idx = (np.arange(nhairs) * npts).astype(np.int32)
+        nr = nrm if kind == "oriented" else None
+        if nr is not None and xfm is not None:
+            nr = _apply_xfm(xfm, nr, w=0.0)
+        geoms.append(CurveGeometry(
+            pos, idx, basis=basis, kind=kind,
+            tangents=tans if is_hermite else None, normals=nr))
+    return geoms
+
+
 class XMLScene:
     """Parsed scene: geometries + camera + lights + material colors."""
 
@@ -153,16 +294,35 @@ def _add_geometry(out: XMLScene, elem, xfm):
         out.geometries.append(SubdivisionGeometry(
             pos, faces, idx, levels=5, creases=creases or None,
             vertex_creases=vcreases or None))
-    elif tag == "Curves" or tag in ("BezierCurves", "BSplineHair", "BezierHair",
-                                    "Hair"):
+    elif tag in ("Curves", "BezierCurves", "BSplineCurves", "BSplineHair",
+                 "BezierHair", "Hair"):
+        # per-tag defaults mirror loadNode's RTC type choices
+        # (xml_loader.cpp:1850-1870): *Curves = round, *Hair = flat
         basis = elem.get("basis", "bezier")
         ctype = elem.get("type", "flat")
         if tag in ("BezierHair", "Hair"):
             basis, ctype = "bezier", "flat"
-        if tag == "BSplineHair":
+        elif tag == "BezierCurves":
+            basis, ctype = "bezier", "round"
+        elif tag == "BSplineHair":
             basis, ctype = "bspline", "flat"
+        elif tag == "BSplineCurves":
+            basis, ctype = "bspline", "round"
         pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
+        if basis == "bspline":
+            # NaN end control points trigger the b-spline edge rule
+            # (xml_loader.cpp:1166 fix_bspline_end_points)
+            pos = np.array(pos, np.float32)
+            flat_steps = pos if pos.ndim == 3 else pos[None]
+            for st in flat_steps:
+                for i0 in idx:
+                    v = st[i0:i0 + 4]
+                    if np.isnan(v[0]).any():
+                        v[0] = 2.0 * v[1] - v[2]
+                    if np.isnan(v[3]).any():
+                        v[3] = 2.0 * v[2] - v[1]
+            pos = flat_steps if pos.ndim == 3 else flat_steps[0]
         if basis == "linear":
             out.geometries.append(LineSegmentsGeometry(
                 pos, idx, kind="round" if ctype == "round" else "flat"))
@@ -175,6 +335,11 @@ def _add_geometry(out: XMLScene, elem, xfm):
                     "surface": "round", "normal_oriented": "oriented"}[ctype]
             out.geometries.append(CurveGeometry(
                 pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm))
+    elif tag == "FurBall":
+        for g in _furball(elem, xfm):
+            out.geometries.append(g)
+            out.kd.append(kd)
+        return True
     elif tag in ("LineSegments", "RoundLineSegments", "ConeSegments"):
         pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
