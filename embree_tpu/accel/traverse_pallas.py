@@ -98,7 +98,8 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             attr_ref, *rest,
             GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
             robust=False, has_motion=False, has_kinds=False,
-            kind_classes=(0,), want_attrs=False, has_win=False):
+            kind_classes=(0,), want_attrs=False, has_win=False,
+            NSL_N=0, NSL_L=0):
     # leaf chunk layout (pack.py):
     # fields A | [fields B] | [mask] | [kind] | [t0 | t1]
     CH_MASK = N_FIELDS * (2 if has_motion else 1)
@@ -127,17 +128,23 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         lstage_ref, ltag_ref, lsem = rest[ri:ri + 3]
         ri += 3
     if stream_nodes or stream_leaves:
-        started_ref, dmacnt_ref = rest[ri:ri + 2]
+        (started_ref, dmacnt_ref, claim_ref, claimw_ref,
+         okf_ref) = rest[ri:ri + 5]
         dmacnt_ref[0] = 0
         dmacnt_ref[1] = 0
 
         @pl.when(pl.program_id(0) == 0)
         def _init_tags():
-            for u in range(UGRP):
-                if stream_nodes:
-                    ntag_ref[u] = -1
-                if stream_leaves:
-                    ltag_ref[u] = -1
+            if stream_nodes:
+                def bn(i, c):
+                    ntag_ref[i] = -1
+                    return c
+                jax.lax.fori_loop(0, NSL_N, bn, 0)
+            if stream_leaves:
+                def bl(i, c):
+                    ltag_ref[i] = -1
+                    return c
+                jax.lax.fori_loop(0, NSL_L, bl, 0)
 
     rowall = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
     rowc = rowall & 7                # child/tri slot within the 8-row block
@@ -178,7 +185,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         ray_ref[RAY_MASK] = _f32(expand(mask_ref[0]))
 
     def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8,
-              stage_ref=None, tag_ref=None, sem=None, cnt=None):
+              stage_ref=None, tag_ref=None, sem=None, cnt=None, NSL=0):
         """Gather one record per lane per group from one pool into per-field
         chunk buffers buf_ref[k] (each (ROWS,128), 8-row block u = group u's
         record field). Each trip, every group dynamic-slices ITS OWN next
@@ -216,35 +223,94 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                            axis=1, keepdims=True)              # (ROWS,1)
             gsafe = jnp.minimum(gcur, Gp - 1)
             sel = need & (grp == jnp.broadcast_to(gcur, (ROWS, LANE)))
-            if stream:
-                # start every missing tile's DMA first (overlap), then wait
+            if not stream:
+                # resident tables serve the TWO smallest distinct tiles per
+                # trip: at 2M tris the fetch loop runs ~10 trips/step
+                # (incoherent lanes span many tiles) and trips, not DMA,
+                # bound the frame — two gathers+merge per trip halves them
+                left1 = need & ~sel
+                g2cur = jnp.min(jnp.where(left1, grp, jnp.int32(Gp)),
+                                axis=1, keepdims=True)
+                g2safe = jnp.minimum(g2cur, Gp - 1)
+                sel2 = left1 & (grp == jnp.broadcast_to(g2cur, (ROWS, LANE)))
+                selb = sel | sel2
                 for u in range(UGRP):
-                    tile = gsafe[8 * u, 0]
-                    miss = (gcur[8 * u, 0] < Gp) & (tag_ref[u] != tile)
+                    t1 = tab_ref[gsafe[8 * u, 0]]
+                    t2 = tab_ref[g2safe[8 * u, 0]]
+                    li = lane[8 * u:8 * u + 8]
+                    idx = jnp.concatenate([li] * chunks, axis=0)
+                    got1 = jnp.take_along_axis(t1[:8 * chunks], idx, axis=1)
+                    got2 = jnp.take_along_axis(t2[:8 * chunks], idx, axis=1)
+                    s1u = sel[8 * u:8 * u + 8]
+                    if first:
+                        for k in range(chunks):
+                            buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                                s1u, got1[8 * k:8 * k + 8],
+                                got2[8 * k:8 * k + 8])
+                    else:
+                        sbu = selb[8 * u:8 * u + 8]
+                        for k in range(chunks):
+                            buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                                sbu,
+                                jnp.where(s1u, got1[8 * k:8 * k + 8],
+                                          got2[8 * k:8 * k + 8]),
+                                buf_ref[k, 8 * u:8 * u + 8])
+                left = need & ~selb
+                need_ref[:] = jnp.where(left, 1, 0) + zeroR * 0
+                return jnp.min(jnp.where(left, grp, jnp.int32(Gp)))
+            if stream:
+                # shared direct-mapped tile cache (slot = tile % NSL):
+                # scalar phase claims slots, starts every miss (up to UGRP
+                # copies in flight), waits them all, then gathers. Two
+                # groups wanting the same tile share one DMA; a slot
+                # COLLISION (same slot, different tile) defers the later
+                # group to the next trip via the sel gate. Tags and staged
+                # tiles persist across grid programs.
+                for u in range(UGRP):
+                    want = gsafe[8 * u, 0]
+                    active = gcur[8 * u, 0] < Gp
+                    slot = jax.lax.rem(want, jnp.int32(NSL))
+                    coll = active & False
+                    for v in range(u):
+                        coll = coll | ((claim_ref[v] == slot)
+                                       & (claimw_ref[v] != want))
+                    ok_u = active & ~coll
+                    claim_ref[u] = jnp.where(ok_u, slot, -1)
+                    claimw_ref[u] = want
+                    okf_ref[u] = jnp.where(ok_u, 1, 0)
+                    miss = ok_u & (tag_ref[slot] != want)
                     started_ref[u] = jnp.where(miss, 1, 0)
 
                     @pl.when(miss)
-                    def _(u=u, tile=tile):
+                    def _(u=u, want=want, slot=slot):
                         pltpu.make_async_copy(
-                            tab_ref.at[tile], stage_ref.at[u],
+                            tab_ref.at[want], stage_ref.at[slot],
                             sem.at[u]).start()
-                        tag_ref[u] = tile
+                        tag_ref[slot] = want
                         dmacnt_ref[cnt] = dmacnt_ref[cnt] + 1
                 for u in range(UGRP):
                     @pl.when(started_ref[u] == 1)
                     def _(u=u):
                         pltpu.make_async_copy(
-                            tab_ref.at[tag_ref[u]], stage_ref.at[u],
+                            tab_ref.at[claimw_ref[u]],
+                            stage_ref.at[claim_ref[u]],
                             sem.at[u]).wait()
+                # deferred groups keep their lanes outstanding
+                gate = jnp.concatenate(
+                    [jnp.broadcast_to((okf_ref[u] == 1).reshape(1, 1),
+                                      (8, LANE)) for u in range(UGRP)],
+                    axis=0)
+                sel = sel & gate
             for u in range(UGRP):
                 if stream:
-                    tile = stage_ref[u]                # staged (rows,128)
+                    slot = jax.lax.rem(gsafe[8 * u, 0], jnp.int32(NSL))
+                    tile = stage_ref[slot]             # staged (rows,128)
                 else:
                     tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
                 li = lane[8 * u:8 * u + 8]
                 idx = jnp.concatenate([li] * chunks, axis=0)   # (rows,128)
                 got = jnp.take_along_axis(tile[:8 * chunks], idx, axis=1)
-                if first:
+                if first and not stream:
                     for k in range(chunks):
                         buf_ref[k, 8 * u:8 * u + 8] = got[8 * k:8 * k + 8]
                 else:
@@ -284,13 +350,13 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         else:
             node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
                                  jnp.where(at_node8, cur8, 0), at_node8,
-                                 nstage_ref, ntag_ref, nsem, 0)
+                                 nstage_ref, ntag_ref, nsem, 0, NSL_N)
         if "nofetchl" in _ABLATE:
             leaf_ok8, lt = at_leaf8, jnp.int32(0)
         else:
             leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
                                  jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8,
-                                 lstage_ref, ltag_ref, lsem, 1)
+                                 lstage_ref, ltag_ref, lsem, 1, NSL_L)
         stall8 = act8 & ~(node_ok8 | leaf_ok8)
 
         # ======== tile-parallel elementwise phases: ALL groups at once =====
@@ -804,7 +870,8 @@ def _residency(packed: PackedScene):
     device main memory, never by on-chip SRAM.
 
     Returns (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-    scratch_bytes)."""
+    scratch_bytes, NSL_N, NSL_L) where NSL_* are the shared tile-cache slot
+    counts for streamed tables (0 = table resident)."""
     GN, GL = packed.n_node_tiles, packed.n_leaf_tiles
     has_mask, has_motion = packed.has_mask, packed.has_motion
     has_kinds, has_win = packed.has_kinds, packed.has_win
@@ -814,20 +881,33 @@ def _residency(packed: PackedScene):
     lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
     node_bytes = GN * 32 * LANE * 4
     leaf_bytes = GL * lrows * LANE * 4
+    tile_n = 32 * LANE * 4
+    tile_l = lrows * LANE * 4
     scratch_bytes = (STACK_BLOCKS * ROWS * LANE * 4
                      + (8 + NR + 4 + LCH) * ROWS * LANE * 4)
     budget = VMEM_RESIDENT_BUDGET - scratch_bytes
     stream_leaves = node_bytes + leaf_bytes > budget
     # leaves stream first (they are ~3x larger and touched once per visit);
     # nodes only stream when they alone exceed the budget
-    stream_nodes = stream_leaves and node_bytes > budget - (
-        UGRP * lrows * LANE * 4)
-    resident = (node_bytes if not stream_nodes else UGRP * 32 * LANE * 4) + \
-               (leaf_bytes if not stream_leaves else UGRP * lrows * LANE * 4)
+    stream_nodes = stream_leaves and node_bytes > budget - UGRP * tile_l
+    # streamed tables get a SHARED direct-mapped tile cache sized to the
+    # remaining VMEM (slot = tile % NSL): coherence-sorted neighbouring
+    # programs/groups share hot tiles, so a big cache turns the round-2
+    # per-group 1-way staging (which thrashed: ~1 DMA per group-trip at 2M
+    # tris) into mostly-hit lookups
+    NSL_N = NSL_L = 0
+    if stream_leaves:
+        avail = budget - (node_bytes if not stream_nodes else 0)
+        if stream_nodes:
+            NSL_N = int(min(max(avail // 4 // tile_n, UGRP), 2048))
+            avail -= NSL_N * tile_n
+        NSL_L = int(min(max(avail // tile_l, UGRP), 2048))
+    resident = (node_bytes if not stream_nodes else NSL_N * tile_n) + \
+               (leaf_bytes if not stream_leaves else NSL_L * tile_l)
     vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
                      VMEM_HARD_LIMIT)
     return (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-            scratch_bytes)
+            scratch_bytes, NSL_N, NSL_L)
 
 
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
@@ -857,7 +937,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     if time is None:
         time = jnp.zeros(R, jnp.float32)
     (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-     _scr) = _residency(packed)
+     _scr, NSL_N, NSL_L) = _residency(packed)
     ridx = None
     # Reorder scope: the global multi-operand sort costs ~0.1 ms at 1M rays
     # on an idle chip (perf/sort_tax.py — earlier 25 ms readings were
@@ -941,7 +1021,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                                stream_leaves=stream_leaves, robust=robust,
                                has_motion=has_motion, has_kinds=has_kinds,
                                kind_classes=kind_classes,
-                               want_attrs=emit_attrs, has_win=has_win)
+                               want_attrs=emit_attrs, has_win=has_win,
+                               NSL_N=NSL_N, NSL_L=NSL_L)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -975,16 +1056,19 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
     ]
     if stream_nodes:
-        scratch += [pltpu.VMEM((UGRP, 32, LANE), jnp.int32),    # node stage
-                    pltpu.SMEM((UGRP,), jnp.int32),             # node tags
+        scratch += [pltpu.VMEM((NSL_N, 32, LANE), jnp.int32),   # node cache
+                    pltpu.SMEM((NSL_N,), jnp.int32),            # node tags
                     pltpu.SemaphoreType.DMA((UGRP,))]
     if stream_leaves:
-        scratch += [pltpu.VMEM((UGRP, lrows, LANE), jnp.float32),  # leaf stage
-                    pltpu.SMEM((UGRP,), jnp.int32),                # leaf tags
+        scratch += [pltpu.VMEM((NSL_L, lrows, LANE), jnp.float32),  # leaf $
+                    pltpu.SMEM((NSL_L,), jnp.int32),                # tags
                     pltpu.SemaphoreType.DMA((UGRP,))]
     if stream_nodes or stream_leaves:
         scratch += [pltpu.SMEM((UGRP,), jnp.int32),   # DMA-started flags
-                    pltpu.SMEM((2,), jnp.int32)]      # DMA miss counters
+                    pltpu.SMEM((2,), jnp.int32),      # DMA miss counters
+                    pltpu.SMEM((UGRP,), jnp.int32),   # slot claims
+                    pltpu.SMEM((UGRP,), jnp.int32),   # claimed tiles
+                    pltpu.SMEM((UGRP,), jnp.int32)]   # serve-ok flags
 
     nattr = 5 if emit_attrs else 1
     attr_spec = pl.BlockSpec((1, nattr, UGRP, LANE), lambda b: (b, 0, 0, 0),

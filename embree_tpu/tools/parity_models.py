@@ -33,7 +33,7 @@ def parse_ecs(path):
                 continue
             toks += line.split()
     out = dict(xml=None, vp=None, vi=None, vu=(0.0, 1.0, 0.0), fov=90.0,
-               lefthanded=False)
+               lefthanded=False, shader="default", camera=None)
     i = 0
     while i < len(toks):
         t = toks[i].lstrip("-")
@@ -45,6 +45,12 @@ def parse_ecs(path):
             i += 4
         elif t == "fov":
             out["fov"] = float(toks[i + 1])
+            i += 2
+        elif t == "shader":
+            out["shader"] = toks[i + 1]
+            i += 2
+        elif t == "camera":
+            out["camera"] = toks[i + 1]
             i += 2
         elif t == "lefthanded":
             out["lefthanded"] = True
@@ -97,16 +103,25 @@ def run_ecs(ecs_path, size=512):
     if not xs.geometries:
         raise ValueError("no geometries parsed")
     cs = to_scene(xs).commit()
-    vp = cfg["vp"] or (0.0001, 0.0001, -3.0)
-    vi = cfg["vi"] or (0.0, 0.0, 0.0)
+    cam = (xs.cameras.get(cfg["camera"]) if cfg["camera"] else None) \
+        or xs.camera or {}
+    vp = cfg["vp"] or tuple(cam.get("from_", (0.0001, 0.0001, -3.0)))
+    vi = cfg["vi"] or tuple(cam.get("to", (0.0, 0.0, 0.0)))
+    if cfg["vp"] is None and "up" in cam:
+        cfg = dict(cfg, vu=tuple(cam["up"]), fov=cam["fov"])
     kd = jnp.asarray(np.stack(xs.kd).astype(np.float32))
     has_motion = getattr(cs, "has_motion", False)
     times = jnp.asarray(_pixel_times(size, size)) if has_motion else 0.0
+
+    from ..models.viewer import SHADERS
 
     def render(cs):
         rays = ispc_camera_rays(np.asarray(vp), np.asarray(vi),
                                 np.asarray(cfg["vu"]), cfg["fov"],
                                 size, size, time=times)
+        if cfg["shader"] != "default":
+            hits = intersect(cs, rays)
+            return SHADERS[cfg["shader"]](cs, rays, hits)
         hits = intersect(cs, rays)
         # default shader: Kd * dot(-dir, faceforward(normalize(Ng)))
         ng = hits.ng

@@ -223,6 +223,7 @@ class XMLScene:
         self.geometries = []        # list of embree_tpu geometry objects
         self.kd = []                # per-geometry Kd color (default shader)
         self.camera = None          # dict(from_, to, up, fov) or None
+        self.cameras = {}           # name -> camera dict (--camera NAME)
         self.lights = []            # list of (type, params) tuples
 
 
@@ -235,8 +236,44 @@ def _parse_material_kd(elem):
     return np.array([0.5, 0.5, 0.5], np.float32)
 
 
+def _rot_axis(axis, deg):
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    t = np.deg2rad(deg)
+    c, s_, C = np.cos(t), np.sin(t), 1 - np.cos(t)
+    x, y, z = a
+    R = np.array([[c + x*x*C, x*y*C - z*s_, x*z*C + y*s_],
+                  [y*x*C + z*s_, c + y*y*C, y*z*C - x*s_],
+                  [z*x*C - y*s_, z*y*C + x*s_, c + z*z*C]])
+    out = np.zeros((3, 4), np.float32)
+    out[:, :3] = R
+    return out
+
+
 def _parse_affine(node):
-    """<AffineSpace> 12 floats (row-major 3x4, xml_parser AffineSpace)."""
+    """<AffineSpace>: 12/16 floats, or the attribute forms translate=/
+    scale=/rotate_x|y|z=/axis+angle (xml_loader.cpp:374-399)."""
+    for k in ("translate", "scale"):
+        if node.get(k):
+            v = _floats(node.get(k))
+            out = np.zeros((3, 4), np.float32)
+            if k == "translate":
+                out[:, :3] = np.eye(3)
+                out[:, 3] = v[:3]
+            else:
+                out[:, :3] = np.diag(v[:3] if v.size >= 3
+                                     else np.repeat(v[0], 3))
+            return out
+    for ax, vec in (("rotate_x", (1, 0, 0)), ("rotate_y", (0, 1, 0)),
+                    ("rotate_z", (0, 0, 1))):
+        if node.get(ax):
+            return _rot_axis(vec, float(node.get(ax)))
+    if node.get("angle") and node.get("axis"):
+        out = _rot_axis(_floats(node.get("axis")), float(node.get("angle")))
+        if node.get("point"):
+            p = _floats(node.get("point"))[:3]
+            out[:, 3] = p - out[:, :3] @ p
+        return out
     v = _nums(node)
     if v.size == 16:
         v = v.reshape(4, 4)[:3]
@@ -364,9 +401,14 @@ def _add_geometry(out: XMLScene, elem, xfm):
 def _walk(out: XMLScene, elem, xfm):
     tag = elem.tag
     if tag == "PerspectiveCamera":
-        out.camera = dict(
+        cam = dict(
             from_=_floats(elem.get("from")), to=_floats(elem.get("to")),
             up=_floats(elem.get("up")), fov=float(elem.get("fov", 90)))
+        if out.camera is None:
+            out.camera = cam
+        name = elem.get("name") or elem.get("id")
+        if name:
+            out.cameras[name] = cam
         return
     if tag in ("AmbientLight", "PointLight", "DirectionalLight", "DistantLight",
                "SpotLight", "QuadLight", "TriangleLight"):
