@@ -77,7 +77,29 @@ def big_scene_bench(et, jax, jnp):
         t0 = time.perf_counter()
         jax.block_until_ready(run(cs, 0))
         times.append(time.perf_counter() - t0)
-    return n_rays / min(times) / 1e6, cs.num_prims
+    incoh = n_rays / min(times) / 1e6
+
+    # coherent companion (CoherentRaysBenchmark analog, verify.cpp:5757:
+    # 4096x4096 primary grid): same scene, camera bundle rays
+    from embree_tpu.models.viewer import ispc_camera_rays
+    side = int(os.environ.get("BENCH_COH_SIDE", 4096))
+
+    @jax.jit
+    def run_coh(cs):
+        rays = ispc_camera_rays(_np.array([0.0, 0.0, 3.5]), _np.zeros(3),
+                                _np.array([0.0, 1.0, 0.0]), 90.0, side, side)
+        flat = jax.tree.map(lambda x: x.reshape((side * side,) + x.shape[2:]),
+                            rays)
+        return et.intersect(cs, flat, differentiable=False).t
+
+    jax.block_until_ready(run_coh(cs))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_coh(cs))
+        times.append(time.perf_counter() - t0)
+    coh = side * side / min(times) / 1e6
+    return incoh, coh, cs.num_prims
 
 
 def main():
@@ -123,9 +145,11 @@ def main():
     }
     if os.environ.get("BENCH_BIG", "1") != "0":
         try:
-            big_mrays, big_prims = big_scene_bench(et, jax, jnp)
+            big_mrays, coh_mrays, big_prims = big_scene_bench(et, jax, jnp)
             record("incoherent_rays_big", big_mrays, unit="Mrays/s")
+            record("coherent_rays_big", coh_mrays, unit="Mrays/s")
             out["big_scene_mrays"] = round(big_mrays, 3)
+            out["big_scene_coherent_mrays"] = round(coh_mrays, 3)
             out["big_scene_prims"] = int(big_prims)
             out["big_scene_rays"] = int(
                 os.environ.get("BENCH_BIG_RAYS", 1 << 24))

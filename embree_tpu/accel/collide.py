@@ -137,7 +137,8 @@ def collide(bvh_b: BVH, b_v0, b_v1, b_v2,
         count = packed & 0xF
         n_cand, cl = s["n_cand"], s["cands"]
         n_prims = bvh_b.prim_order.shape[0]
-        for k in range(4):
+        # leaves hold up to 15 prims (count mask; LEAF_SIZE=8 scenes)
+        for k in range(15):
             valid = is_leaf & (k < count) & (n_cand < MAX_PAIRS_PER_PRIM)
             slot = jnp.clip(start + k, 0, n_prims - 1)
             prim = bvh_b.prim_order[slot]

@@ -135,13 +135,15 @@ def point_query(bvh: BVH, tri_v0, tri_v1, tri_v2, prim_is_tri,
             new_sp = jnp.where(push, new_sp + 1, new_sp)
         node_next = jnp.where(num_hits > 0, child_sorted[:, 0], INVALID_NODE)
 
-        # leaf: test up to 4 triangle prims
+        # leaf: test up to 15 prims (the ref-encoding count mask; scene
+        # leaves hold LEAF_SIZE=8 — the old range(4) loop silently skipped
+        # slots 4..7, returning a non-nearest point)
         packed = jnp.where(is_leaf, -(cur + 1), 0)
         start = packed >> 4
         count = packed & 0xF
         best_d2, best_p, best_prim = s["best_d2"], s["best_p"], s["best_prim"]
         n_prims = bvh.prim_order.shape[0]
-        for k in range(4):
+        for k in range(15):
             valid = is_leaf & (k < count)
             slot = jnp.clip(start + k, 0, n_prims - 1)
             prim = bvh.prim_order[slot]

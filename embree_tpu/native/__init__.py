@@ -38,6 +38,8 @@ def load_library():
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 _compile()
             lib = ctypes.CDLL(_SO)
+            lib.set_build_threads.restype = None
+            lib.set_build_threads.argtypes = [ctypes.c_int]
             lib.build_bvh8.restype = ctypes.c_int
             lib.build_bvh8.argtypes = [
                 ctypes.c_int,
@@ -60,7 +62,7 @@ def native_available() -> bool:
     return load_library() is not None
 
 
-def build_bvh8_native(lo, up, leaf_size=8):
+def build_bvh8_native(lo, up, leaf_size=8, threads=0):
     """Build a BVH8 with the native builder.
 
     Args:
@@ -72,6 +74,7 @@ def build_bvh8_native(lo, up, leaf_size=8):
     lib = load_library()
     if lib is None:
         raise RuntimeError("native builder unavailable (g++ failed)")
+    lib.set_build_threads(int(threads))
     lo = np.ascontiguousarray(lo, np.float32)
     up = np.ascontiguousarray(up, np.float32)
     n = lo.shape[0]

@@ -13,6 +13,7 @@
 //
 // Build:  g++ -O3 -march=native -fopenmp -shared -fPIC bvh_builder.cpp -o libbvh.so
 #include <algorithm>
+#include <omp.h>
 #include <atomic>
 #include <cfloat>
 #include <cmath>
@@ -227,6 +228,13 @@ struct Builder {
 }  // namespace
 
 extern "C" {
+
+// threads= device-config knob (state.h numThreads analog): caps the OpenMP
+// team for subsequent builds; n <= 0 restores the default.
+void set_build_threads(int n) {
+  static int def = omp_get_max_threads();
+  omp_set_num_threads(n > 0 ? n : def);
+}
 
 // Returns node count, or -1 on overflow / error. Node 0 is the root.
 int build_bvh8(int n, const float* lo, const float* up, float* node_lower,

@@ -20,14 +20,64 @@ from .geometry import KIND_TRIANGLE
 from .scene import CommittedScene
 
 
-def point_query_scene(scene: CommittedScene, points, radius) -> PointQueryResult:
-    """Closest point on scene triangles within radius (rtcPointQuery analog)."""
+def point_query_scene(scene, points, radius) -> PointQueryResult:
+    """Closest point on scene triangles within radius (rtcPointQuery analog).
+
+    Instancing: the flattening commit stores instanced triangles in WORLD
+    space, so queries over a CommittedScene cover instanced geometry with no
+    transform stack at all (the role of the reference's instance push/pop,
+    point_query.h + bvh_intersector1.cpp:211, is filled by the merged
+    world-space table). TwoLevelScene queries run per-BLAS in object space
+    with the similarity-scaled radius — the reference's documented
+    similarity-transform constraint (rtcore_common.h RTCPointQuery docs) —
+    and results map back through the instance transform."""
+    if not isinstance(scene, CommittedScene):     # TwoLevelScene
+        return _point_query_two_level(scene, points, radius)
     prim_is_tri = scene.prim_kind == KIND_TRIANGLE
     didx = jnp.clip(scene.prim_data, 0, max(scene.tri_v0.shape[0] - 1, 0))
     # map merged prim -> triangle verts (non-tris are masked out inside)
     return point_query(scene.bvh,
                        scene.tri_v0[didx], scene.tri_v1[didx], scene.tri_v2[didx],
                        prim_is_tri, jnp.asarray(points, jnp.float32), radius)
+
+
+def _point_query_two_level(tl, points, radius) -> PointQueryResult:
+    """Closest point through the TLAS: every instance is queried in object
+    space (the per-ray transform stack of the reference becomes a batched
+    per-instance pass; BLAS sharing keeps it one query per distinct child
+    per instance)."""
+    points = jnp.asarray(points, jnp.float32)
+    Q = points.shape[0]
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (Q,))
+    best = PointQueryResult(dist=jnp.full((Q,), jnp.inf),
+                            point=jnp.zeros((Q, 3)),
+                            prim=jnp.full((Q,), -1, jnp.int32))
+    best_d = radius
+    l2w0 = tl.inst_l2w[:, 0]                      # t=0 transforms
+    for i in range(tl.num_instances):
+        child = tl.children[tl.inst_child[i]]
+        w2l = tl.inst_w2l[i]
+        l2w = l2w0[i]
+        # similarity scale: query radius in object space
+        s = jnp.abs(jnp.linalg.det(l2w[:, :3])) ** (1.0 / 3.0)
+        op = points @ w2l[:, :3].T + w2l[:, 3]
+        r = _point_query_child(child, op, best_d / jnp.maximum(s, 1e-20))
+        wp = r.point @ l2w[:, :3].T + l2w[:, 3]
+        wd = jnp.linalg.norm(wp - points, axis=-1)
+        better = (r.prim >= 0) & (wd < best_d)
+        best = PointQueryResult(
+            dist=jnp.where(better, wd, best.dist),
+            point=jnp.where(better[:, None], wp, best.point),
+            prim=jnp.where(better, r.prim, best.prim))
+        best_d = jnp.where(better, wd, best_d)
+    return best
+
+
+def _point_query_child(scene: CommittedScene, points, radius):
+    prim_is_tri = scene.prim_kind == KIND_TRIANGLE
+    didx = jnp.clip(scene.prim_data, 0, max(scene.tri_v0.shape[0] - 1, 0))
+    return point_query(scene.bvh, scene.tri_v0[didx], scene.tri_v1[didx],
+                       scene.tri_v2[didx], prim_is_tri, points, radius)
 
 
 def collide_scenes(scene_a: CommittedScene, scene_b: CommittedScene) -> CollisionResult:

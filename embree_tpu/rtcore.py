@@ -148,7 +148,8 @@ class Device:
     def new_scene(self, quality: Optional[int] = None,
                   robust: Optional[bool] = None) -> Scene:
         scene = Scene(quality=self.config.quality if quality is None else quality,
-                      robust=self.config.robust if robust is None else robust)
+                      robust=self.config.robust if robust is None else robust,
+                      threads=self.config.threads)
         scene._device = self
         return scene
 

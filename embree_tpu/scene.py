@@ -156,8 +156,10 @@ class Scene:
     """Mutable geometry container; commit() produces a CommittedScene."""
 
     def __init__(self, quality: int = BuildQuality.MEDIUM,
-                 robust: bool = False):
+                 robust: bool = False, threads: int = 0):
         self.quality = quality
+        # threads= config knob: native-builder OpenMP team size (0 = all)
+        self.threads = threads
         self.robust = robust          # RTC_SCENE_FLAG_ROBUST analog
         self._geoms: Dict[int, object] = {}
         self._next_id = 0
@@ -232,6 +234,7 @@ class Scene:
             raise ValueError("commit() on empty scene")
         self._progress(0.25)
         m.progress = self._progress
+        m.threads = getattr(self, "threads", 0)
 
         if (self.quality == BuildQuality.REFIT and self.committed is not None
                 and m.total() == self.committed.num_prims):
@@ -800,7 +803,8 @@ class _Merger:
                 # runtime analog of the reference's native builder stack
                 from .native import build_bvh8_native
                 nl, nu, nc, order, cnt = build_bvh8_native(
-                    lo, up, leaf_size=leaf_size)
+                    lo, up, leaf_size=leaf_size,
+                    threads=getattr(self, "threads", 0))
                 bvh8 = BVH(node_lower=jax.device_put(nl, cpu),
                            node_upper=jax.device_put(nu, cpu),
                            node_child=jax.device_put(nc, cpu),

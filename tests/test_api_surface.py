@@ -111,3 +111,27 @@ def test_walk_bvh_visits_all_prims():
     et.walk_bvh(cs.bvh, lambda nid, d, lo, up: None,
                 lambda prims, d: got.extend(int(p) for p in prims))
     assert sorted(got) == list(range(10))
+
+
+def test_threads_config_knob():
+    """threads= reaches the native builder's OpenMP team (state.h numThreads
+    analog); builds stay correct at any thread count."""
+    import numpy as np
+    from embree_tpu.native import build_bvh8_native, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(0)
+    lo = rng.uniform(-1, 1, (60000, 3)).astype(np.float32)
+    up = lo + rng.uniform(0, 0.05, (60000, 3)).astype(np.float32)
+    r1 = build_bvh8_native(lo, up, threads=1)
+    r2 = build_bvh8_native(lo, up, threads=4)
+    assert r1[4] > 0 and r2[4] > 0
+    # same prim coverage regardless of team size
+    np.testing.assert_array_equal(np.sort(r1[3]), np.arange(60000))
+    np.testing.assert_array_equal(np.sort(r2[3]), np.arange(60000))
+    # device-config string path
+    from embree_tpu.rtcore import Device
+    dev = Device("threads=2,quality=medium")
+    s = dev.new_scene()
+    assert s.threads == 2

@@ -170,3 +170,40 @@ def test_commit_auto_two_level_matches_flattening():
     np.testing.assert_allclose(np.asarray(h1.t)[np.asarray(h1.valid)],
                                np.asarray(h2.t)[np.asarray(h2.valid)],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_point_query_instanced():
+    """Closest point through instanced scenes matches brute force — both on
+    the flattening path (world-space merged table) and the TLAS path
+    (per-BLAS object-space query with the similarity-scaled radius), the
+    round-2 'no instance transform stack' gap."""
+    from embree_tpu.query import point_query_scene
+    rng = np.random.default_rng(11)
+    tri = rng.uniform(-0.5, 0.5, (8, 3, 3)).astype(np.float32)
+    child = Scene()
+    child.attach(et.TriangleGeometry(tri.reshape(-1, 3),
+                                     np.arange(24, dtype=np.int32).reshape(-1, 3)))
+    s = Scene()
+    offs = []
+    for k in range(5):
+        off = rng.uniform(-3, 3, 3).astype(np.float32)
+        xf = np.hstack([np.eye(3, dtype=np.float32) * 0.7, off[:, None]])
+        s.attach(et.InstanceGeometry(child, xf.astype(np.float32)))
+        offs.append(xf)
+    q = rng.uniform(-3, 3, (32, 3)).astype(np.float32)
+
+    # brute force over all world-space triangles
+    from embree_tpu.accel.point_query import closest_point_triangle
+    world = np.concatenate([tri * 0.7 + o[:, 3] for o in offs])  # (40,3,3)
+    bd = np.full(32, np.inf)
+    for t in world:
+        cp = np.asarray(closest_point_triangle(
+            jnp.asarray(q), jnp.asarray(np.tile(t[0], (32, 1))),
+            jnp.asarray(np.tile(t[1], (32, 1))),
+            jnp.asarray(np.tile(t[2], (32, 1)))))
+        bd = np.minimum(bd, np.linalg.norm(q - cp, axis=-1))
+
+    r_flat = point_query_scene(s.commit(two_level=False), q, 10.0)
+    np.testing.assert_allclose(np.asarray(r_flat.dist), bd, atol=1e-5)
+    r_tl = point_query_scene(build_two_level(s), q, 10.0)
+    np.testing.assert_allclose(np.asarray(r_tl.dist), bd, atol=1e-5)
