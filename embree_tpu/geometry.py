@@ -32,6 +32,7 @@ KIND_USER = 7
 KIND_CURVE_FLAT = 8    # cubic curve, ribbon intersector (native)
 KIND_CURVE_ROUND = 9   # cubic curve, swept-circle Newton intersector (native)
 KIND_CURVE_ORIENTED = 10  # normal-oriented ruled-surface intersector (native)
+KIND_CURVE_DISTANCE = 11  # min-distance hair fallback (native)
 
 FilterFn = Callable  # (org, dir, t, u, v, ng, prim_id, geom_id) -> bool mask
 

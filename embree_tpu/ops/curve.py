@@ -159,6 +159,51 @@ def _ray_frame(dir):
 SELF_INTERSECTION_AVOIDANCE = 2.0   # EMBREE_CURVE_SELF_INTERSECTION_... default
 
 
+def intersect_distance(org, dir, cp, tnear, tfar, n_seg: int = 8):
+    """Distance (hair fallback) curve intersector — behavior parity with
+    curve_intersector_distance.h:86-180: tessellate the RAY-SPACE curve into
+    n_seg linear segments, closest 2D approach per segment, hit when the
+    squared distance is within the interpolated radius; t = p.z*depth_scale,
+    v = 0, u = (i+u_local)/N, Ng = curve tangent, with the
+    self-intersection-avoidance rejection t > 2*r*depth_scale.
+
+    cp: (..., 4, 4) world-space Bezier xyz+r.
+    """
+    dx, dy, dzs, ds = _ray_frame(dir)
+    rel = cp[..., :3] - org[..., None, :]
+    px = jnp.sum(rel * dx[..., None, :], -1)
+    py = jnp.sum(rel * dy[..., None, :], -1)
+    pz = jnp.sum(rel * dzs[..., None, :], -1)
+    cp2 = jnp.stack([px, py, pz, cp[..., 3]], -1)      # ray-space xyz+r
+
+    ts = np.linspace(0.0, 1.0, n_seg + 1, dtype=np.float32)
+    uk = jnp.broadcast_to(jnp.asarray(ts), cp.shape[:-2] + (n_seg + 1,))
+    pk = eval_bezier(cp2[..., None, :, :], uk)         # (..., n_seg+1, 4)
+    p0 = pk[..., :-1, :]
+    p1 = pk[..., 1:, :]
+
+    v = p1 - p0
+    w = -p0
+    d0 = w[..., 0] * v[..., 0] + w[..., 1] * v[..., 1]
+    d1 = v[..., 0] * v[..., 0] + v[..., 1] * v[..., 1]
+    u = jnp.clip(d0 / jnp.where(jnp.abs(d1) > 1e-30, d1, 1.0), 0.0, 1.0)
+    p = p0 + u[..., None] * v
+    t = p[..., 2] * ds[..., None]
+    d2 = p[..., 0] ** 2 + p[..., 1] ** 2
+    r = p[..., 3]
+    ok = ((d2 <= r * r) & (tnear[..., None] <= t) & (t <= tfar[..., None])
+          & (t > SELF_INTERSECTION_AVOIDANCE * r * ds[..., None]))
+
+    u_full = (jnp.asarray(np.arange(n_seg, dtype=np.float32)) + u) / n_seg
+    tbig = jnp.where(ok, t, jnp.inf)
+    best = jnp.argmin(tbig, axis=-1)
+    hit = jnp.take_along_axis(ok, best[..., None], -1)[..., 0]
+    t_o = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    u_o = jnp.take_along_axis(u_full, best[..., None], -1)[..., 0]
+    ng = eval_bezier_du(cp, u_o)[..., :3]
+    return hit, t_o, u_o, jnp.zeros_like(u_o), ng
+
+
 def intersect_ribbon(org, dir, cp, tnear, tfar, n_seg: int = 4):
     """Flat-curve ribbon intersector — behavior parity with the reference
     (curve_intersector_ribbon.h:73-177): transform Bezier CPs into ray space,

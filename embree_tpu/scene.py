@@ -47,7 +47,7 @@ from .accel import traverse_pallas as trav_pallas
 from .geometry import (
     KIND_CURVE_FLAT, KIND_CURVE_ORIENTED, KIND_CURVE_ROUND, KIND_DISC,
     KIND_FLAT_LINE,
-    KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
+    KIND_CURVE_DISTANCE, KIND_ORIENTED_DISC, KIND_QUAD, KIND_ROUND_LINE,
     KIND_SPHERE, KIND_TRIANGLE, KIND_USER,
     CurveGeometry, GridGeometry, InstanceArrayGeometry, InstanceGeometry,
     LineSegmentsGeometry, PointGeometry, QuadGeometry, SubdivisionGeometry,
@@ -80,6 +80,7 @@ class CommittedScene:
     prim_inst: jnp.ndarray    # (T, 2) uint32 instance id stack (INVALID_ID = none)
     prim_data: jnp.ndarray    # (T,) int32 index into the kind table
     prim_mask: jnp.ndarray    # (T,) uint32
+    prim_filter: jnp.ndarray  # (T,) int32 filter slot (-1 = none)
     # triangles (two time steps; _b == step 1, equal to step 0 when static)
     tri_v0: jnp.ndarray; tri_v1: jnp.ndarray; tri_v2: jnp.ndarray
     tri_v0b: jnp.ndarray; tri_v1b: jnp.ndarray; tri_v2b: jnp.ndarray
@@ -286,6 +287,7 @@ class _Merger:
         # buffers (tight per-segment bounds fall out of the pair tables)
         self.prim_t01 = []      # per-emit (n, 2) windows
         self._window = (0.0, 1.0)
+        self._fidx = -1         # filter slot of the geometry being added
 
     def total(self):
         return sum(r.shape[0] for r in self.rows) if self.rows else 0
@@ -293,7 +295,7 @@ class _Merger:
     def _emit(self, kind, gid, n, data_start, inst_stack, mask):
         inst0 = inst_stack[0] if len(inst_stack) > 0 else _INV
         inst1 = inst_stack[1] if len(inst_stack) > 1 else _INV
-        rows = np.empty((n, 7), np.int64)
+        rows = np.empty((n, 8), np.int64)
         rows[:, 0] = kind
         rows[:, 1] = gid
         rows[:, 2] = np.arange(n)
@@ -301,6 +303,7 @@ class _Merger:
         rows[:, 4] = inst1
         rows[:, 5] = data_start + np.arange(n)
         rows[:, 6] = mask
+        rows[:, 7] = self._fidx        # filter slot (-1 = none)
         self.rows.append(rows)
         self.prim_t01.append(
             np.tile(np.asarray(self._window, np.float32), (n, 1)))
@@ -372,9 +375,19 @@ class _Merger:
             return
 
         mask = getattr(g, "mask", 0xFFFFFFFF) & inst_mask
-        if g.filter is not None and not any(
-                gid == fg for fg, _ in self.filters):
-            self.filters.append((gid, g.filter))
+        # filters are deduped by CALLABLE identity and matched to prims by
+        # a per-prim slot index (rows col 7), so instanced sub-scenes that
+        # share a local gid but carry different filters stay distinct
+        # (ADVICE r2: gid-keyed dedup silently dropped the second filter)
+        self._fidx = -1
+        if g.filter is not None:
+            for fi, (fg, ff) in enumerate(self.filters):
+                if ff is g.filter:
+                    self._fidx = fi
+                    break
+            else:
+                self.filters.append((gid, g.filter))
+                self._fidx = len(self.filters) - 1
         if xfb is None:
             xfb = xf
         xf_motion = xf is not None and xfb is not None and not np.array_equal(xf, xfb)
@@ -473,7 +486,8 @@ class _Merger:
                 cp = cps[gather]
                 cpb = cpsb[gather]
 
-            if g.algorithm == "native" and g.basis != curve_ops.BASIS_LINEAR:
+            if (g.algorithm in ("native", "distance")
+                    and g.basis != curve_ops.BASIS_LINEAR):
                 # native per-curve intersectors: store world-space Bezier CPs;
                 # one prim per curve (reference CurveNi role, curveNi.h)
                 s = self._xf_scale(xf)
@@ -486,7 +500,9 @@ class _Merger:
                     arr[..., :3] = self._xf_points(x, arr[..., :3])
                     arr[..., 3] *= s
                 n = cp.shape[0]
-                if g.kind == "oriented":
+                if g.algorithm == "distance":
+                    kind = KIND_CURVE_DISTANCE
+                elif g.kind == "oriented":
                     kind = KIND_CURVE_ORIENTED
                 elif g.kind == "round":
                     kind = KIND_CURVE_ROUND
@@ -726,7 +742,7 @@ class _Merger:
                                        line["p0b"][d] + line["r0b"][d][:, None],
                                        line["p1b"][d] + line["r1b"][d][:, None]])
             elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND,
-                       KIND_CURVE_ORIENTED):
+                       KIND_CURVE_ORIENTED, KIND_CURVE_DISTANCE):
                 # Bezier convex hull dilated by the max control radius
                 # (conservative vs the reference's accurateBounds)
                 cpx = np.concatenate([curve_cp[d], curve_cpb[d]], axis=1)
@@ -844,6 +860,7 @@ class _Merger:
             prim_inst=rows[:, 3:5].astype(np.uint32),
             prim_data=rows[:, 5].astype(np.int32),
             prim_mask=rows[:, 6].astype(np.uint32),
+            prim_filter=rows[:, 7].astype(np.int32),
             tri_v0=tri["v0"], tri_v1=tri["v1"], tri_v2=tri["v2"],
             tri_v0b=tri["v0b"], tri_v1b=tri["v1b"], tri_v2b=tri["v2b"],
             quad_v=quad["v"], quad_vb=quad["vb"], quad_uvm=quad["uvm"],
@@ -1049,9 +1066,12 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         # map sub-segment param into curve-global u
         u = scene.line_u0[i] * (1 - s) + scene.line_u1[i] * s
         return hit, t, u, v, ng
-    if k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND, KIND_CURVE_ORIENTED):
+    if k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND, KIND_CURVE_ORIENTED,
+             KIND_CURVE_DISTANCE):
         i = jnp.clip(didx, 0, max(scene.curve_cp.shape[0] - 1, 0))
         cp = lerp(scene.curve_cp[i], scene.curve_cpb[i])
+        if k == KIND_CURVE_DISTANCE:
+            return curve_ops.intersect_distance(org, dir, cp, tnear, tfar)
         if k == KIND_CURVE_FLAT:
             return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar)
         if k == KIND_CURVE_ORIENTED:
@@ -1103,8 +1123,9 @@ def _apply_filters(scene, accept, prim, org, dir, t, u, v, ng,
     if not scene.filters:
         return accept
     geom = scene.prim_geom[prim]
-    for gid, fn in scene.filters:
-        applies = geom == jnp.uint32(gid)
+    fslot = scene.prim_filter[prim]
+    for fi, (gid, fn) in enumerate(scene.filters):
+        applies = fslot == fi
         keep, _ = _run_filter(fn, context, org, dir, t, u, v, ng,
                               scene.prim_local[prim], geom)
         accept = jnp.where(applies, accept & keep, accept)
@@ -1117,12 +1138,13 @@ def _apply_filter_updates(scene, prim, org, dir, t, u, v, ng):
     if not scene.filters:
         return u, v, ng
     geom = scene.prim_geom[prim]
-    for gid, fn in scene.filters:
+    fslot = scene.prim_filter[prim]
+    for fi, (gid, fn) in enumerate(scene.filters):
         keep, updates = _run_filter(fn, "intersect", org, dir, t, u, v, ng,
                                     scene.prim_local[prim], geom)
         if not updates:
             continue
-        sel = geom == jnp.uint32(gid)
+        sel = fslot == fi
         if "u" in updates:
             u = jnp.where(sel, updates["u"], u)
         if "v" in updates:

@@ -319,3 +319,55 @@ def test_filter_full_convention_modifies_hit():
     r = et.make_rays(jnp.asarray([[0., -0.2, 2.0]]), jnp.asarray([[0., 0., -1.]]))
     assert not bool(sc.occluded(cs, r)[0])
     assert "occluded" in contexts
+
+
+def test_filters_distinct_per_subscene_gid():
+    """Two instanced sub-scenes whose child geometries share gid 0 but have
+    DIFFERENT filters must each apply their own filter (ADVICE r2: gid-keyed
+    dedup silently dropped the second)."""
+    tri = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+
+    def reject_all(org, dir, t, u, v, ng, prim, geom):
+        return jnp.zeros_like(t, bool)
+
+    def accept_all(org, dir, t, u, v, ng, prim, geom):
+        return jnp.ones_like(t, bool)
+
+    child_a = et.Scene()
+    ga = et.TriangleGeometry(tri, idx)
+    ga.filter = reject_all
+    child_a.attach(ga)                      # gid 0 in sub-scene A
+    child_b = et.Scene()
+    gb = et.TriangleGeometry(tri + np.array([0, 0, -2], np.float32), idx)
+    gb.filter = accept_all
+    child_b.attach(gb)                      # gid 0 in sub-scene B
+    s = et.Scene()
+    s.attach(et.InstanceGeometry(child_a, np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)))
+    s.attach(et.InstanceGeometry(child_b, np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)))
+    cs = s.commit(two_level=False)
+    rays = et.make_rays(jnp.array([[0.0, 0.0, 5.0]]), jnp.array([[0.0, 0.0, -1.0]]))
+    h = jax.jit(et.intersect)(cs, rays)
+    # front triangle (z=0, sub-scene A) is filtered out; the ray must hit
+    # the back triangle (z=-2, sub-scene B) instead
+    assert bool(h.valid[0])
+    np.testing.assert_allclose(float(h.t[0]), 7.0, atol=1e-5)
+
+
+def test_distance_curve_intersector():
+    """Distance hair-fallback algorithm (curve_intersector_distance.h:86):
+    hits within the tube radius, u along the curve, self-intersection
+    avoidance near the origin of grazing rays."""
+    cp = np.array([[[0, 0, 0, 0.2], [1, 0.5, 0, 0.2],
+                    [2, -0.5, 0, 0.2], [3, 0, 0, 0.2]]], np.float32)
+    s = et.Scene()
+    s.attach(et.CurveGeometry(cp.reshape(-1, 4), np.array([0], np.int32),
+                              basis="bezier", kind="flat",
+                              algorithm="distance"))
+    cs = s.commit()
+    org = jnp.array([[1.5, 0.0, 5.0], [1.5, 3.0, 5.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]] * 2)
+    h = jax.jit(et.intersect)(cs, et.make_rays(org, d))
+    assert bool(h.valid[0]) and not bool(h.valid[1])
+    assert 4.7 < float(h.t[0]) < 5.1
+    assert 0.3 < float(h.u[0]) < 0.7
