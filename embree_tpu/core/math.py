@@ -146,29 +146,29 @@ def affine_mul(a, b):
     Ra, ta = a[..., :3], a[..., 3]
     Rb, tb = b[..., :3], b[..., 3]
     R = Ra @ Rb
-    t = jnp.einsum('...ij,...j->...i', Ra, tb) + ta
+    t = jnp.einsum('...ij,...j->...i', Ra, tb, precision="highest") + ta
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
 def affine_inverse(a):
     R, t = a[..., :3], a[..., 3]
     Rinv = jnp.linalg.inv(R)
-    tinv = -jnp.einsum('...ij,...j->...i', Rinv, t)
+    tinv = -jnp.einsum('...ij,...j->...i', Rinv, t, precision="highest")
     return jnp.concatenate([Rinv, tinv[..., None]], axis=-1)
 
 
 def xfm_point(a, p):
-    return jnp.einsum('...ij,...j->...i', a[..., :3], p) + a[..., 3]
+    return jnp.einsum('...ij,...j->...i', a[..., :3], p, precision="highest") + a[..., 3]
 
 
 def xfm_vector(a, v):
-    return jnp.einsum('...ij,...j->...i', a[..., :3], v)
+    return jnp.einsum('...ij,...j->...i', a[..., :3], v, precision="highest")
 
 
 def xfm_normal(a, n):
     """Transform a normal: inverse-transpose of linear part."""
     Rinv = jnp.linalg.inv(a[..., :3])
-    return jnp.einsum('...ji,...j->...i', Rinv, n)
+    return jnp.einsum('...ji,...j->...i', Rinv, n, precision="highest")
 
 
 def xfm_aabb(a, lo, up):
@@ -265,7 +265,7 @@ class QuaternionDecomposition:
         R = quat_to_matrix(quat_normalize(self.quat))
         S_lin, S_t = self.scale[..., :3], self.scale[..., 3]
         lin = R @ S_lin
-        t = jnp.einsum('...ij,...j->...i', R, S_t) + self.translation
+        t = jnp.einsum('...ij,...j->...i', R, S_t, precision="highest") + self.translation
         return jnp.concatenate([lin, t[..., None]], axis=-1)
 
 

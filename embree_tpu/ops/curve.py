@@ -16,6 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _rsqrt(x):
+    """Full-precision 1/sqrt: jax.lax.rsqrt lowers to an approximate TPU
+    instruction (~2^-12 rel error) that defeats the ulp-scale convergence
+    tests of the Newton solvers; 1/sqrt stays correctly rounded."""
+    return 1.0 / jnp.sqrt(x)
+
 BASIS_LINEAR = "linear"
 BASIS_BEZIER = "bezier"
 BASIS_BSPLINE = "bspline"
@@ -79,7 +86,7 @@ def eval_curve(basis: str, cp, t):
     if basis == BASIS_LINEAR:
         return cp[..., 0, :] * (1 - t)[..., None] + cp[..., 1, :] * t[..., None]
     w = _WEIGHTS[basis](t)                          # (..., 4)
-    return jnp.einsum("...k,...kc->...c", w, cp)
+    return jnp.einsum("...k,...kc->...c", w, cp, precision="highest")
 
 
 def eval_curve_derivative(basis: str, cp, t, eps=1e-4):
@@ -113,12 +120,12 @@ _TO_BEZIER = {
 def to_bezier(basis: str, cp):
     """Convert (..., 4, C) control data of any cubic basis to Bezier CPs."""
     m = jnp.asarray(_TO_BEZIER[basis])
-    return jnp.einsum("ij,...jc->...ic", m, cp)
+    return jnp.einsum("ij,...jc->...ic", m, cp, precision="highest")
 
 
 def eval_bezier(cp, u):
     """Evaluate Bezier (..., 4, C) at u (...,) -> (..., C)."""
-    return jnp.einsum("...k,...kc->...c", _bezier_weights(u), cp)
+    return jnp.einsum("...k,...kc->...c", _bezier_weights(u), cp, precision="highest")
 
 
 def eval_bezier_du(cp, u):
@@ -126,14 +133,14 @@ def eval_bezier_du(cp, u):
     d = 3.0 * (cp[..., 1:, :] - cp[..., :-1, :])      # (..., 3, C)
     s = 1.0 - u
     w = jnp.stack([s * s, 2 * s * u, u * u], -1)
-    return jnp.einsum("...k,...kc->...c", w, d)
+    return jnp.einsum("...k,...kc->...c", w, d, precision="highest")
 
 
 def eval_bezier_ddu(cp, u):
     """Second derivative: 6 * sum (b[i+2]-2b[i+1]+b[i]) * B1_i(u)."""
     d = 6.0 * (cp[..., 2:, :] - 2 * cp[..., 1:-1, :] + cp[..., :-2, :])
     w = jnp.stack([1.0 - u, u], -1)
-    return jnp.einsum("...k,...kc->...c", w, d)
+    return jnp.einsum("...k,...kc->...c", w, d, precision="highest")
 
 
 def _ray_frame(dir):
@@ -141,7 +148,7 @@ def _ray_frame(dir):
     depth_scale = rsqrt(|d|^2); rows = frame(normalize(d)) with the z row
     scaled by depth_scale). Returns (vx, vy, vz_scaled, depth_scale)."""
     d2 = jnp.sum(dir * dir, -1, keepdims=True)
-    ds = jax.lax.rsqrt(jnp.maximum(d2, 1e-36))
+    ds = _rsqrt(jnp.maximum(d2, 1e-36))
     n = dir * ds
     nx, ny, nz = n[..., 0:1], n[..., 1:2], n[..., 2:3]
     zero = jnp.zeros_like(nx)
@@ -347,7 +354,7 @@ def intersect_sweep(org, dir, cp, tnear, tfar, n_seg: int = 16,
         R_err = jnp.maximum(Q_err, P_err[..., None])
 
         dPdu2 = jnp.sum(dPdu * dPdu, -1)
-        rcp_len = jax.lax.rsqrt(jnp.maximum(dPdu2, 1e-36))
+        rcp_len = _rsqrt(jnp.maximum(dPdu2, 1e-36))
         T = dPdu * rcp_len[..., None]
         dTdu = (ddPdu * dPdu2[..., None]
                 - dPdu * jnp.sum(dPdu * ddPdu, -1)[..., None]) \
@@ -362,7 +369,7 @@ def intersect_sweep(org, dir, cp, tnear, tfar, n_seg: int = 16,
         K = jnp.maximum(jnp.sum(R * R, -1) - f * f, 0.0)
         dKdu = jnp.sum(R * -dPdu, -1) - f * dfdu
         dKdt = jnp.sum(R * dirn, -1) - f * dfdt
-        rsK = jax.lax.rsqrt(jnp.maximum(K, 1e-36))
+        rsK = _rsqrt(jnp.maximum(K, 1e-36))
 
         g = jnp.sqrt(K) - r
         g_err = R_err + f_err + 16.0 * 1.19209290e-07 * box_max[..., None]
@@ -437,7 +444,7 @@ def intersect_oriented(org, dir, cp, ncp, tnear, tfar, n_seg: int = 64):
         bt = jnp.cross(n, dp[..., :3])
         dbt = jnp.cross(dn, dp[..., :3])     # ddp assumed 0 (reference note)
         bt2 = jnp.sum(bt * bt, -1, keepdims=True)
-        rl = jax.lax.rsqrt(jnp.maximum(bt2, 1e-36))
+        rl = _rsqrt(jnp.maximum(bt2, 1e-36))
         k = bt * rl
         dk = (dbt * bt2 - bt * jnp.sum(bt * dbt, -1, keepdims=True)) * rl ** 3
         w, dw = p[..., 3:4], dp[..., 3:4]
@@ -515,12 +522,12 @@ def intersect_oriented(org, dir, cp, ncp, tnear, tfar, n_seg: int = 64):
     # from (a) the best chord hit and (b) the closest-approach segment (which
     # recovers silhouette hits the chord test misses). ---
     dd = jnp.sum(dir * dir, -1, keepdims=True)
-    dnrm = dir * jax.lax.rsqrt(jnp.maximum(dd, 1e-30))
+    dnrm = dir * _rsqrt(jnp.maximum(dd, 1e-30))
     ax = jnp.where(jnp.abs(dnrm[..., 0:1]) < 0.9,
                    jnp.asarray([1.0, 0.0, 0.0]),
                    jnp.asarray([0.0, 1.0, 0.0]))
     e1 = jnp.cross(dnrm, ax)
-    e1 = e1 * jax.lax.rsqrt(jnp.maximum(jnp.sum(e1 * e1, -1, keepdims=True),
+    e1 = e1 * _rsqrt(jnp.maximum(jnp.sum(e1 * e1, -1, keepdims=True),
                                         1e-30))
     e2 = jnp.cross(dnrm, e1)
 

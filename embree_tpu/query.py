@@ -60,9 +60,11 @@ def _point_query_two_level(tl, points, radius) -> PointQueryResult:
         l2w = l2w0[i]
         # similarity scale: query radius in object space
         s = jnp.abs(jnp.linalg.det(l2w[:, :3])) ** (1.0 / 3.0)
-        op = points @ w2l[:, :3].T + w2l[:, 3]
+        op = jnp.einsum("qj,ij->qi", points, w2l[:, :3],
+                        precision="highest") + w2l[:, 3]
         r = _point_query_child(child, op, best_d / jnp.maximum(s, 1e-20))
-        wp = r.point @ l2w[:, :3].T + l2w[:, 3]
+        wp = jnp.einsum("qj,ij->qi", r.point, l2w[:, :3],
+                        precision="highest") + l2w[:, 3]
         wd = jnp.linalg.norm(wp - points, axis=-1)
         better = (r.prim >= 0) & (wd < best_d)
         best = PointQueryResult(

@@ -323,8 +323,8 @@ def _collect_loop(tl: TwoLevelScene, rays: RayBatch, C: int,
 
 
 def _xf_rays(w2l, rays_org, rays_dir):
-    o = jnp.einsum("nij,nj->ni", w2l[..., :3], rays_org) + w2l[..., 3]
-    d = jnp.einsum("nij,nj->ni", w2l[..., :3], rays_dir)
+    o = jnp.einsum("nij,nj->ni", w2l[..., :3], rays_org, precision="highest") + w2l[..., 3]
+    d = jnp.einsum("nij,nj->ni", w2l[..., :3], rays_dir, precision="highest")
     return o, d
 
 
@@ -333,7 +333,7 @@ def _affine_inv_jnp(m):
     A = m[..., :3]
     b = m[..., 3]
     inv = jnp.linalg.inv(A)
-    t = -jnp.einsum("...ij,...j->...i", inv, b)
+    t = -jnp.einsum("...ij,...j->...i", inv, b, precision="highest")
     return jnp.concatenate([inv, t[..., None]], axis=-1)
 
 
@@ -396,7 +396,7 @@ def _blas_pass(tl: TwoLevelScene, flat: RayBatch, cand, best, C):
 
         inst_lane = jnp.take_along_axis(candc, lane[:, None], 1)[:, 0]
         l2w_lane = _l2w_at(tl, inst_lane, flat.time)
-        ng_w = jnp.einsum("nij,nj->ni", l2w_lane[:, :, :3], pick("ng"))
+        ng_w = jnp.einsum("nij,nj->ni", l2w_lane[:, :, :3], pick("ng"), precision="highest")
         upd3 = upd[:, None]
         best_u = jnp.where(upd, pick("u"), best_u)
         best_v = jnp.where(upd, pick("v"), best_v)
