@@ -181,6 +181,11 @@ def main(argv=None):
             results[name] = f"ERROR {type(e).__name__}: {e}"
             n_fail += 1
             print(f"{name}: ERROR {e}", flush=True)
+        # incremental dump: long runs survive round/driver cutoffs
+        with open(args.out, "w") as f:
+            json.dump({"pass": n_pass, "fail": n_fail, "skip": n_skip,
+                       "partial": True, "threshold": args.threshold,
+                       "results": results}, f, indent=1)
     with open(args.out, "w") as f:
         json.dump({"pass": n_pass, "fail": n_fail, "skip": n_skip,
                    "threshold": args.threshold, "results": results}, f,
