@@ -51,12 +51,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pack import INVALID_REC, LEAF_WIDTH, N_FIELDS, PackedScene, ltab_rows
 
+import os as _os_tune
 LANE = 128
-UGRP = 16                # independent 128-ray groups interleaved per program
+# independent 128-ray groups interleaved per program (sweepable for tuning)
+UGRP = int(_os_tune.environ.get("EMBREE_TPU_UGRP", 16))
 ROWS = UGRP * 8
 STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
-STACK_HOT = 2            # stack blocks always touched; deeper ones gated
-UNROLL = 2               # traversal steps per while-loop iteration
+STACK_HOT = int(_os_tune.environ.get("EMBREE_TPU_STACK_HOT", 2))
+UNROLL = int(_os_tune.environ.get("EMBREE_TPU_UNROLL", 2))
 MAX_STEPS = 200_000      # runaway guard
 
 # Residency policy (v5e: 128 MiB VMEM/core). Tables within the budget stay

@@ -116,6 +116,12 @@ class CommittedScene:
     user_fns: Tuple = dataclasses.field(default=(), metadata={"static": True})
     # RTC_SCENE_FLAG_ROBUST analog: widened slab tests + Plücker leaf tests
     robust: bool = dataclasses.field(default=False, metadata={"static": True})
+    # min-width feature (EMBREE_MIN_WIDTH, context.h enlargeRadiusToMinWidth):
+    # round-prim radii r are enlarged at query time to
+    # clamp(min_width_factor * dist(center, ray org), r, max_radius_scale*r);
+    # commit dilates bounds by max_radius_scale so the BVH stays conservative
+    min_width_factor: float = dataclasses.field(default=0.0, metadata={"static": True})
+    max_radius_scale: float = dataclasses.field(default=1.0, metadata={"static": True})
 
     _ARRAY_FIELDS = None   # filled below
     _STATIC_FIELDS = None  # filled below
@@ -157,10 +163,15 @@ class Scene:
     """Mutable geometry container; commit() produces a CommittedScene."""
 
     def __init__(self, quality: int = BuildQuality.MEDIUM,
-                 robust: bool = False, threads: int = 0):
+                 robust: bool = False, threads: int = 0,
+                 min_width_factor: float = 0.0,
+                 max_radius_scale: float = 1.0):
         self.quality = quality
         # threads= config knob: native-builder OpenMP team size (0 = all)
         self.threads = threads
+        # min-width (rtcSetGeometryMaxRadiusScale + minWidthDistanceFactor)
+        self.min_width_factor = min_width_factor
+        self.max_radius_scale = max_radius_scale
         self.robust = robust          # RTC_SCENE_FLAG_ROBUST analog
         self._geoms: Dict[int, object] = {}
         self._next_id = 0
@@ -236,6 +247,8 @@ class Scene:
         self._progress(0.25)
         m.progress = self._progress
         m.threads = getattr(self, "threads", 0)
+        m.min_width_factor = getattr(self, "min_width_factor", 0.0)
+        m.max_radius_scale = getattr(self, "max_radius_scale", 1.0)
 
         if (self.quality == BuildQuality.REFIT and self.committed is not None
                 and m.total() == self.committed.num_prims):
@@ -716,6 +729,10 @@ class _Merger:
         up = np.empty((T, 3), np.float32)
         kind = rows[:, 0]
         data = rows[:, 5].astype(np.int64)
+        # min-width: BVH bounds must cover the largest possible enlarged
+        # radius (max_radius_scale * r) since the actual enlargement is
+        # ray-origin dependent (context.h enlargeRadiusToMinWidth)
+        mrs = np.float32(getattr(self, "max_radius_scale", 1.0))
 
         for k in np.unique(kind):
             sel = kind == k
@@ -728,25 +745,27 @@ class _Merger:
                 allv = np.concatenate([quad["v"][d], quad["vb"][d]], axis=1)
                 a = allv.min(1); b = allv.max(1)
             elif k in (KIND_SPHERE, KIND_DISC, KIND_ORIENTED_DISC):
-                a = np.minimum(pnt_c[d] - pnt_r[d][:, None],
-                               pnt_cb[d] - pnt_rb[d][:, None])
-                b = np.maximum(pnt_c[d] + pnt_r[d][:, None],
-                               pnt_cb[d] + pnt_rb[d][:, None])
+                a = np.minimum(pnt_c[d] - mrs * pnt_r[d][:, None],
+                               pnt_cb[d] - mrs * pnt_rb[d][:, None])
+                b = np.maximum(pnt_c[d] + mrs * pnt_r[d][:, None],
+                               pnt_cb[d] + mrs * pnt_rb[d][:, None])
             elif k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
-                a = np.minimum.reduce([line["p0"][d] - line["r0"][d][:, None],
-                                       line["p1"][d] - line["r1"][d][:, None],
-                                       line["p0b"][d] - line["r0b"][d][:, None],
-                                       line["p1b"][d] - line["r1b"][d][:, None]])
-                b = np.maximum.reduce([line["p0"][d] + line["r0"][d][:, None],
-                                       line["p1"][d] + line["r1"][d][:, None],
-                                       line["p0b"][d] + line["r0b"][d][:, None],
-                                       line["p1b"][d] + line["r1b"][d][:, None]])
+                a = np.minimum.reduce(
+                    [line["p0"][d] - mrs * line["r0"][d][:, None],
+                     line["p1"][d] - mrs * line["r1"][d][:, None],
+                     line["p0b"][d] - mrs * line["r0b"][d][:, None],
+                     line["p1b"][d] - mrs * line["r1b"][d][:, None]])
+                b = np.maximum.reduce(
+                    [line["p0"][d] + mrs * line["r0"][d][:, None],
+                     line["p1"][d] + mrs * line["r1"][d][:, None],
+                     line["p0b"][d] + mrs * line["r0b"][d][:, None],
+                     line["p1b"][d] + mrs * line["r1b"][d][:, None]])
             elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND,
                        KIND_CURVE_ORIENTED, KIND_CURVE_DISTANCE):
                 # Bezier convex hull dilated by the max control radius
                 # (conservative vs the reference's accurateBounds)
                 cpx = np.concatenate([curve_cp[d], curve_cpb[d]], axis=1)
-                rmax = cpx[..., 3].max(axis=1)[:, None]
+                rmax = mrs * cpx[..., 3].max(axis=1)[:, None]
                 a = cpx[..., :3].min(axis=1) - rmax
                 b = cpx[..., :3].max(axis=1) + rmax
             elif k == KIND_USER:
@@ -779,8 +798,10 @@ class _Merger:
         # leaf records, no filter/user callbacks (those force the composable
         # jnp engine). Quads expand to two triangle slots -> halved leaf size.
         # Time-sliced multi-step scenes add per-slot [t0,t1] window chunks.
+        mwf = float(getattr(self, "min_width_factor", 0.0))
         packable = (set(kinds_present) <= _PACKED_KINDS
-                    and not self.filters and not self.user_fns)
+                    and not self.filters and not self.user_fns
+                    and mwf == 0.0)
         leaf_size = LEAF_SIZE // (2 if (packable and KIND_QUAD in kinds_present)
                                   else 1)
 
@@ -883,6 +904,8 @@ class _Merger:
             filters=tuple(self.filters),
             user_fns=tuple(self.user_fns),
             robust=robust,
+            min_width_factor=mwf,
+            max_radius_scale=float(mrs),
         )
         getattr(self, "progress", lambda f: None)(1.0)
         # local_devices: under multi-process jax.distributed, devices()[0]
@@ -1009,6 +1032,16 @@ def _compose_affine(a, b):
 
 def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar):
     """Closed-form intersect for prims of kind k (full hit info)."""
+    def minw(c, r):
+        # enlargeRadiusToMinWidth (context.h:65-74): radii grow with distance
+        # from the ray origin so thin prims stay >= min_width pixels wide
+        if scene.min_width_factor <= 0.0:
+            return r
+        o = org.reshape(org.shape[:-1] + (1,) * (c.ndim - org.ndim) + (3,))
+        d = jnp.sqrt(jnp.maximum(jnp.sum((c - o) ** 2, -1), 0.0))
+        return jnp.clip(scene.min_width_factor * d, r,
+                        scene.max_radius_scale * r)
+
     def lerp(a, b):
         if not scene.has_motion:
             return a
@@ -1042,7 +1075,7 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
     if k in (KIND_SPHERE, KIND_DISC, KIND_ORIENTED_DISC):
         i = jnp.clip(didx, 0, max(scene.pnt_c.shape[0] - 1, 0))
         c = lerp(scene.pnt_c[i], scene.pnt_cb[i])
-        r = lerp(scene.pnt_r[i], scene.pnt_rb[i])
+        r = minw(c, lerp(scene.pnt_r[i], scene.pnt_rb[i]))
         if k == KIND_SPHERE:
             return point_ops.intersect_sphere(org, dir, c, r, tnear, tfar)
         if k == KIND_DISC:
@@ -1054,8 +1087,8 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         i = jnp.clip(didx, 0, max(scene.line_p0.shape[0] - 1, 0))
         p0 = lerp(scene.line_p0[i], scene.line_p0b[i])
         p1 = lerp(scene.line_p1[i], scene.line_p1b[i])
-        r0 = lerp(scene.line_r0[i], scene.line_r0b[i])
-        r1 = lerp(scene.line_r1[i], scene.line_r1b[i])
+        r0 = minw(p0, lerp(scene.line_r0[i], scene.line_r0b[i]))
+        r1 = minw(p1, lerp(scene.line_r1[i], scene.line_r1b[i]))
         if k == KIND_ROUND_LINE:
             hit, t, s, v, ng = line_ops.intersect_round_line(
                 org, dir, p0, r0, p1, r1, tnear, tfar,
@@ -1070,6 +1103,9 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
              KIND_CURVE_DISTANCE):
         i = jnp.clip(didx, 0, max(scene.curve_cp.shape[0] - 1, 0))
         cp = lerp(scene.curve_cp[i], scene.curve_cpb[i])
+        if scene.min_width_factor > 0.0:
+            cp = jnp.concatenate(
+                [cp[..., :3], minw(cp[..., :3], cp[..., 3])[..., None]], -1)
         if k == KIND_CURVE_DISTANCE:
             return curve_ops.intersect_distance(org, dir, cp, tnear, tfar)
         if k == KIND_CURVE_FLAT:

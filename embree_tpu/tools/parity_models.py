@@ -33,7 +33,8 @@ def parse_ecs(path):
                 continue
             toks += line.split()
     out = dict(xml=None, vp=None, vi=None, vu=(0.0, 1.0, 0.0), fov=90.0,
-               lefthanded=False, shader="default", camera=None)
+               lefthanded=False, shader="default", camera=None,
+               min_width=0.0, max_radius_scale=1.0, point_spheres=[])
     i = 0
     while i < len(toks):
         t = toks[i].lstrip("-")
@@ -55,9 +56,43 @@ def parse_ecs(path):
         elif t == "lefthanded":
             out["lefthanded"] = True
             i += 1
+        elif t == "min-width":
+            out["min_width"] = float(toks[i + 1])
+            out["max_radius_scale"] = float(toks[i + 2])
+            i += 3
+        elif t in ("point-sphere", "disc-sphere", "oriented-disc-sphere"):
+            kind = {"point-sphere": "sphere", "disc-sphere": "disc",
+                    "oriented-disc-sphere": "oriented_disc"}[t]
+            vals = [float(x) for x in toks[i + 1:i + 7]]
+            out["point_spheres"].append((kind, vals[:3], vals[3], vals[4],
+                                         int(vals[5])))
+            i += 7
         else:
             i += 1
     return out
+
+
+def _point_sphere(kind, center, radius, point_r, num_phi):
+    """Procedural sphere-of-points (geometry_creation.cpp:361
+    createPointSphere): numPhi x 2*numPhi grid of point prims."""
+    from ..geometry import PointGeometry
+    n_phi = int(num_phi)
+    n_theta = 2 * n_phi
+    phi = np.arange(n_phi + 1)[:, None] * np.pi / n_phi
+    theta = np.arange(n_theta)[None, :] * 2.0 * np.pi / n_theta
+    c = np.asarray(center, np.float32)
+    x = c[0] + radius * np.sin(phi) * np.sin(theta)
+    y = (c[1] + radius * np.cos(phi)) * np.ones_like(theta)
+    z = c[2] + radius * np.sin(phi) * np.cos(theta)
+    pos = np.stack([x, y, z, np.full_like(x, point_r)], -1).reshape(-1, 4)
+    pos = pos.astype(np.float32)
+    normals = None
+    if kind == "oriented_disc":
+        nrm = (pos[:, :3] - c)
+        normals = (nrm / np.maximum(
+            np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        ).astype(np.float32)
+    return PointGeometry(pos, kind=kind, normals=normals)
 
 
 def _pixel_times(width, height):
@@ -99,10 +134,23 @@ def run_ecs(ecs_path, size=512):
     from ..utils.xml_scene import load_xml, to_scene
 
     cfg = parse_ecs(ecs_path)
-    xs = load_xml(cfg["xml"])
+    if cfg["xml"] is not None:
+        xs = load_xml(cfg["xml"])
+    else:
+        from ..utils.xml_scene import XMLScene
+        xs = XMLScene()
+    for kind, c, r, pr, nphi in cfg["point_spheres"]:
+        xs.geometries.append(_point_sphere(kind, c, r, pr, nphi))
+        # OBJMaterial default Kd is white (measured vs goldens)
+        xs.kd.append(np.array([1.0, 1.0, 1.0], np.float32))
     if not xs.geometries:
         raise ValueError("no geometries parsed")
-    cs = to_scene(xs).commit()
+    kw = {}
+    if cfg["min_width"] > 0.0:
+        # viewer: args.minWidthDistanceFactor = 0.5*min_width/width
+        kw = dict(min_width_factor=0.5 * cfg["min_width"] / size,
+                  max_radius_scale=cfg["max_radius_scale"])
+    cs = to_scene(xs, **kw).commit()
     cam = (xs.cameras.get(cfg["camera"]) if cfg["camera"] else None) \
         or xs.camera or {}
     vp = cfg["vp"] or tuple(cam.get("from_", (0.0001, 0.0001, -3.0)))
@@ -160,12 +208,11 @@ def main(argv=None):
     for ecs in ecss:
         name = os.path.relpath(ecs, MODELDIR)
         t0 = time.time()
-        if parse_ecs(ecs)["xml"] is None:
-            # procedural command-line scenes (--point-sphere + --min-width):
-            # the min-width feature is not implemented yet — record the gap
-            results[name] = "SKIP: no -i scene (min-width procedural)"
+        pc = parse_ecs(ecs)
+        if pc["xml"] is None and not pc["point_spheres"]:
+            results[name] = "SKIP: no scene input"
             n_skip += 1
-            print(f"{name}: SKIP (procedural min-width scene)", flush=True)
+            print(f"{name}: SKIP (no scene input)", flush=True)
             continue
         try:
             img = run_ecs(ecs)

@@ -445,10 +445,10 @@ def load_xml(path) -> XMLScene:
     return out
 
 
-def to_scene(xs: XMLScene):
+def to_scene(xs: XMLScene, **scene_kwargs):
     """Build an embree_tpu.Scene from a parsed XMLScene."""
     from ..scene import Scene
-    s = Scene()
+    s = Scene(**scene_kwargs)
     for g in xs.geometries:
         s.attach(g)
     return s

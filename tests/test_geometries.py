@@ -371,3 +371,24 @@ def test_distance_curve_intersector():
     assert bool(h.valid[0]) and not bool(h.valid[1])
     assert 4.7 < float(h.t[0]) < 5.1
     assert 0.3 < float(h.u[0]) < 0.7
+
+
+def test_min_width_radius_enlargement():
+    """EMBREE_MIN_WIDTH analog (context.h enlargeRadiusToMinWidth): radii
+    grow with distance as clamp(factor*d, r, scale*r); bounds stay
+    conservative so far prims remain hittable."""
+    pts = np.array([[0, 0, 0, 0.01]], np.float32)
+    s = et.Scene(min_width_factor=0.05, max_radius_scale=8.0)
+    s.attach(et.PointGeometry(pts, kind="sphere"))
+    cs = s.commit()
+    # from distance 3: r' = min(0.05*3, 8*0.01) = 0.08 -> a ray offset by
+    # 0.05 (miss at r=0.01) must now hit
+    rays = et.make_rays(jnp.array([[0.05, 0.0, 3.0]]),
+                        jnp.array([[0.0, 0.0, -1.0]]))
+    h = jax.jit(et.intersect)(cs, rays)
+    assert bool(h.valid[0])
+    # without min-width the same ray misses
+    s2 = et.Scene()
+    s2.attach(et.PointGeometry(pts, kind="sphere"))
+    h2 = jax.jit(et.intersect)(s2.commit(), rays)
+    assert not bool(h2.valid[0])
