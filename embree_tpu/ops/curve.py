@@ -334,7 +334,13 @@ def intersect_sweep(org, dir, cp, tnear, tfar, n_seg: int = 16,
     perp2 = jnp.sum(R0 * R0, -1)
     r0 = Pu[..., 3]
     half_chord = jnp.sqrt(jnp.maximum(r0 * r0 - perp2, 0.25 * r0 * r0))
-    t = t - half_chord / jnp.sqrt(jnp.maximum(d2[..., None], 1e-36))
+    hc = half_chord / jnp.sqrt(jnp.maximum(d2[..., None], 1e-36))
+    # TWO seed banks: entry-side (t - hc) and exit-side (t + hc). A ray
+    # whose origin lies INSIDE the fat curve (closeup cameras) has its
+    # entry root behind tnear — only the exit-side seed converges to the
+    # valid root (the reference's interval recursion finds both naturally)
+    u = jnp.concatenate([u, u], axis=-1)
+    t = jnp.concatenate([t - hc, t + hc], axis=-1)
 
     dirn = dir[..., None, :]
 
