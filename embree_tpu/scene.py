@@ -1346,7 +1346,11 @@ def _reconstruct_hits(scene: CommittedScene, rays: RayBatch, best_prim) -> HitBa
     t = jnp.full_like(rays.tnear, jnp.inf)
     u = jnp.zeros_like(rays.tnear); v = jnp.zeros_like(rays.tnear)
     ng = jnp.zeros(rays.tnear.shape + (3,), jnp.float32)
-    wide_near = jnp.full_like(rays.tnear, -jnp.inf)
+    # near bound: the ray's tnear minus an fp-wobble margin — NOT -inf:
+    # multi-root prims (spheres, round curves) would otherwise report the
+    # behind-origin root when the ray starts inside them. tfar stays wide
+    # (the nearest root >= tnear is unique for the fixed winning prim).
+    wide_near = rays.tnear - 1e-4 * jnp.abs(rays.tnear) - 1e-5
     wide_far = jnp.full_like(rays.tfar, jnp.inf)
     for k in scene.kinds_present:
         _, tk, uk, vk, ngk = _kind_test(scene, k, didx, rays.org, rays.dir,

@@ -392,3 +392,20 @@ def test_min_width_radius_enlargement():
     s2.attach(et.PointGeometry(pts, kind="sphere"))
     h2 = jax.jit(et.intersect)(s2.commit(), rays)
     assert not bool(h2.valid[0])
+
+
+def test_sweep_ray_origin_inside_curve():
+    """A ray starting INSIDE a fat round curve must hit the exit surface
+    (closeup-camera case; the entry root is behind tnear)."""
+    cp = np.array([[0, 0, -2, 0.5], [0, 0, -0.7, 0.5],
+                   [0, 0, 0.7, 0.5], [0, 0, 2, 0.5]], np.float32)
+    s = et.Scene()
+    s.attach(et.CurveGeometry(cp, np.array([0], np.int32),
+                              basis="bezier", kind="round"))
+    cs = s.commit()
+    # origin on the curve axis, inside the tube; exit at distance ~0.5
+    rays = et.make_rays(jnp.array([[0.0, 0.0, 0.0]]),
+                        jnp.array([[0.0, 1.0, 0.0]]))
+    h = jax.jit(et.intersect)(cs, rays)
+    assert bool(h.valid[0])
+    assert 0.3 < float(h.t[0]) < 0.7
