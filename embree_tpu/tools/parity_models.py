@@ -162,11 +162,15 @@ def run_ecs(ecs_path, size=512):
     times = jnp.asarray(_pixel_times(size, size)) if has_motion else 0.0
 
     from ..models.viewer import SHADERS
+    rows_chunk = int(os.environ.get("PARITY_CHUNK_ROWS", 64))
 
-    def render(cs):
-        rays = ispc_camera_rays(np.asarray(vp), np.asarray(vi),
-                                np.asarray(cfg["vu"]), cfg["fov"],
-                                size, size, time=times)
+    def render_chunk(cs, y0):
+        rays_full = ispc_camera_rays(np.asarray(vp), np.asarray(vi),
+                                     np.asarray(cfg["vu"]), cfg["fov"],
+                                     size, size, time=times)
+        rays = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, y0, rows_chunk, 0),
+            rays_full)
         if cfg["shader"] != "default":
             hits = intersect(cs, rays)
             return SHADERS[cfg["shader"]](cs, rays, hits)
@@ -181,7 +185,15 @@ def run_ecs(ecs_path, size=512):
         col = kd[gid] * shade[..., None]
         return jnp.where(hits.valid[..., None], col, 0.0)
 
-    return np.asarray(jax.jit(render)(cs))
+    # row-chunked rendering: oriented/sweep curve leaf math allocates per
+    # (ray, segment) temporaries; a full 512^2 frame in one jit overflows
+    # the 16 GB TPU HBM on curve-heavy scenes. Same compiled fn per chunk.
+    import jax.numpy as _jnp
+    out = np.zeros((size, size, 3), np.float32)
+    rfn = jax.jit(render_chunk)
+    for y0 in range(0, size, rows_chunk):
+        out[y0:y0 + rows_chunk] = np.asarray(rfn(cs, _jnp.int32(y0)))
+    return out
 
 
 def main(argv=None):
