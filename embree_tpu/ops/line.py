@@ -25,14 +25,19 @@ SELF_INTERSECTION_AVOIDANCE = 2.0   # CMakeLists.txt:212 default
 
 
 def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
-                         begin_cap=True):
+                         begin_cap=True, neighbors=None):
     """Ray vs tangent cone-sphere segment. Returns (hit, t, u, v, ng).
 
     begin_cap: whether the begin sphere (p0/r0) is part of this segment's
     surface. The reference's CSG gives interior connection caps to the
     PREVIOUS segment's end sphere and only chain-start segments own a begin
-    sphere (roundline_intersector.h:577-580 isBeginPoint), which also fixes
-    the reported u at caps (end-sphere hits -> u=1 of the earlier segment)."""
+    sphere (roundline_intersector.h:577-580 isBeginPoint).
+
+    neighbors: optional (pL, rL, pR, rR) — the far endpoints of the left
+    and right neighbor segments (rL/rR < 0 marks absent). Candidate hits
+    whose points lie inside a neighbor's capped cone are interior to the
+    union and rejected (roundline_intersector.h:562-568
+    isInsideCappedCone), which makes fat overlapping joints exact."""
     dOdO = dot(dir, dir)
     rcp_dOdO = 1.0 / jnp.maximum(dOdO, 1e-30)
     # recenter the ray near the segment (roundline_intersector.h:545-549)
@@ -86,20 +91,56 @@ def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
     # sphere hits inside the cone's y-range belong to the cone surface
     s0f_ok = s0_ok & (yp + ts0f * dOdP < 0.0)
     s0b_ok = s0_ok & (yp + ts0b * dOdP < 0.0)
-    s1f_ok = s1_ok & (yp + ts1f * dOdP > g)
-    s1b_ok = s1_ok & (yp + ts1b * dOdP > g)
+    # degenerate cone (g <= 0: the start sphere lies inside the end
+    # sphere): the end sphere IS the geometry — accept it unclipped
+    # (roundline_intersector.h:557 'if cone is entirely in sphere end')
+    deg = g <= 0.0
+    s1f_ok = s1_ok & ((yp + ts1f * dOdP > g) | deg)
+    s1b_ok = s1_ok & ((yp + ts1b * dOdP > g) | deg)
 
+    def inside_capped_cone(t_loc, c0, cN, rr0, rrN, hasN):
+        """roundline_intersector.h isInsideCappedCone: is the hit point
+        strictly inside the capped cone c0->cN (a neighbor segment)?"""
+        p = o + t_loc[..., None] * dir
+        dPn = cN - c0
+        dPnPn = dot(dPn, dPn)
+        drn = rrN - rr0
+        gn = dPnPn - drn * drn
+        p0p = p - c0
+        y = dot(p0p, dPn)
+        cap0 = -rr0 * drn + eps
+        cap1 = dPnPn - rrN * drn
+        return (hasN & (y > cap0) & (y < cap1)
+                & (dot(p0p, p0p) * gn - y * y
+                   < dPnPn * rr0 * rr0 + 2.0 * rr0 * drn * y))
+
+    if neighbors is not None:
+        pL, rL, pR, rR = neighbors
+        hasL = rL >= 0.0
+        hasR = rR >= 0.0
+
+        def not_interior(t_loc):
+            return ~(inside_capped_cone(t_loc, p0, pL, r0, rL, hasL)
+                     | inside_capped_cone(t_loc, p1, pR, r1, rR, hasR))
+    else:
+        def not_interior(t_loc):
+            return jnp.ones_like(t_loc, bool)
+
+    # nearest valid candidate >= tnear (union surface; works for origins
+    # inside the tube because exit roots are candidates too)
     INF = jnp.inf
-    t_lower = jnp.minimum(jnp.where(cf_ok, tcf, INF),
-                          jnp.minimum(jnp.where(s0f_ok, ts0f, INF),
-                                      jnp.where(s1f_ok, ts1f, INF)))
-    t_upper = jnp.maximum(jnp.where(cb_ok, tcb, -INF),
-                          jnp.maximum(jnp.where(s0b_ok, ts0b, -INF),
-                                      jnp.where(s1b_ok, ts1b, -INF)))
-    lo_ok = (tnear <= dt + t_lower) & (dt + t_lower <= tfar) & (t_lower < INF)
-    up_ok = (tnear <= dt + t_upper) & (dt + t_upper <= tfar) & (t_upper > -INF)
-    hit = lo_ok | up_ok
-    t_loc = jnp.where(lo_ok, t_lower, t_upper)
+    t_best = jnp.full_like(tcf, INF)
+    t_loc = jnp.zeros_like(tcf)
+    for tc, okc in ((tcf, cf_ok), (tcb, cb_ok), (ts0f, s0f_ok),
+                    (ts0b, s0b_ok), (ts1f, s1f_ok), (ts1b, s1b_ok)):
+        tw = dt + tc
+        okc = okc & (tnear <= tw) & (tw <= tfar) & not_interior(tc)
+        take = okc & (tw < t_best)
+        t_best = jnp.where(take, tw, t_best)
+        # carry the LOCAL root exactly: the u/Ng recovery below matches it
+        # by equality against the candidate roots
+        t_loc = jnp.where(take, tc, t_loc)
+    hit = t_best < INF
 
     cone_first = (t_loc == tcf) | (t_loc == tcb)
     sph0_first = (t_loc == ts0f) | (t_loc == ts0b)
@@ -112,8 +153,7 @@ def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
                    jnp.where(sph0_first[..., None], ng_s0, ng_s1))
     u = jnp.where(cone_first, jnp.clip(y_at / jnp.maximum(g, 1e-30), 0.0, 1.0),
                   jnp.where(sph0_first, 0.0, 1.0))
-    t = dt + t_loc
-    return hit, jnp.where(hit, t, INF), u, jnp.zeros_like(u), ng
+    return hit, jnp.where(hit, t_best, INF), u, jnp.zeros_like(u), ng
 
 
 def intersect_flat_line(org, dir, p0, r0, p1, r1, tnear, tfar):

@@ -95,6 +95,9 @@ class CommittedScene:
     line_p1: jnp.ndarray; line_r1: jnp.ndarray
     line_u0: jnp.ndarray; line_u1: jnp.ndarray
     line_fl: jnp.ndarray   # flags: bit0 = has-left-neighbor (no begin cap)
+    # neighbor far endpoints for interior-hit suppression (rL/rR<0 = absent)
+    line_pL: jnp.ndarray; line_rL: jnp.ndarray
+    line_pR: jnp.ndarray; line_rR: jnp.ndarray
     line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
     line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
     # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4);
@@ -285,7 +288,7 @@ class _Merger:
         self.quad = {k: [] for k in ("v", "vb", "uvm")}
         self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb", "nb")}
         self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
-                                     "fl",
+                                     "fl", "pL", "rL", "pR", "rR",
                                      "p0b", "r0b", "p1b", "r1b")}
         self.curve = {k: [] for k in ("cp", "cpb", "n", "nb")}
         self.user = {k: [] for k in ("lo", "up")}
@@ -470,6 +473,12 @@ class _Merger:
             # sphere (roundline_intersector.h isBeginPoint): a begin sphere
             # exists only where no segment ends at our start vertex
             has_left = np.isin(idx - 1, idx)
+            # neighbor far endpoints (roundline vL/vR: the left segment's
+            # start vertex and the right segment's end vertex); rL/rR < 0
+            # marks absent. Used for interior-hit suppression at fat joints
+            has_right = np.isin(idx + 1, idx)
+            iL = np.clip(idx - 1, 0, va.shape[0] - 1)
+            iR = np.clip(idx + 2, 0, va.shape[0] - 1)
             self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
             self.counts["line"] += n
             for (key, arr) in (
@@ -479,6 +488,10 @@ class _Merger:
                     ("r1", va[idx + 1, 3] * s),
                     ("u0", u), ("u1", u + 1.0),
                     ("fl", has_left.astype(np.float32)),
+                    ("pL", self._xf_points(xf, va[iL, :3])),
+                    ("rL", np.where(has_left, va[iL, 3] * s, -1.0)),
+                    ("pR", self._xf_points(xf, va[iR, :3])),
+                    ("rR", np.where(has_right, va[iR, 3] * s, -1.0)),
                     ("p0b", self._xf_points(xfb, vb_[idx, :3])),
                     ("r0b", vb_[idx, 3] * s),
                     ("p1b", self._xf_points(xfb, vb_[idx + 1, :3])),
@@ -561,11 +574,20 @@ class _Merger:
             # u in [0,1] spans the whole curve (reference curve u semantics)
             self.rows[-1][:, 2] = np.repeat(np.arange(idx.shape[0]), rate)
             self.counts["line"] += n
+            jj = np.arange(n)
+            hasLc = (jj % rate) != 0
+            hasRc = (jj % rate) != rate - 1
+            pLc = np.roll(p0, 1, axis=0)
+            rLc = np.where(hasLc, np.roll(r0, 1) * s, -1.0)
+            pRc = np.roll(p1, -1, axis=0)
+            rRc = np.where(hasRc, np.roll(r1, -1) * s, -1.0)
             for (key, arr) in (
                     ("p0", self._xf_points(xf, p0)), ("r0", r0 * s),
                     ("p1", self._xf_points(xf, p1)), ("r1", r1 * s),
                     ("u0", u0), ("u1", u1),
                     ("fl", ((np.arange(n) % rate) != 0).astype(np.float32)),
+                    ("pL", self._xf_points(xf, pLc)), ("rL", rLc),
+                    ("pR", self._xf_points(xf, pRc)), ("rR", rRc),
                     ("p0b", self._xf_points(xfb, p0b)), ("r0b", r0b * s),
                     ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s)):
                 self.line[key].append(np.asarray(arr, np.float32))
@@ -891,6 +913,8 @@ class _Merger:
             line_p1=line["p1"], line_r1=line["r1"],
             line_u0=line["u0"], line_u1=line["u1"],
             line_fl=line["fl"],
+            line_pL=line["pL"], line_rL=line["rL"],
+            line_pR=line["pR"], line_rR=line["rR"],
             line_p0b=line["p0b"], line_r0b=line["r0b"],
             line_p1b=line["p1b"], line_r1b=line["r1b"],
             curve_cp=curve_cp.reshape(-1, 4, 4), curve_cpb=curve_cpb.reshape(-1, 4, 4),
@@ -1090,9 +1114,17 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         r0 = minw(p0, lerp(scene.line_r0[i], scene.line_r0b[i]))
         r1 = minw(p1, lerp(scene.line_r1[i], scene.line_r1b[i]))
         if k == KIND_ROUND_LINE:
+            pL = lerp(scene.line_pL[i], scene.line_pL[i])
+            pR = lerp(scene.line_pR[i], scene.line_pR[i])
+            rL = scene.line_rL[i]
+            rR = scene.line_rR[i]
+            if scene.min_width_factor > 0.0:
+                rL = jnp.where(rL >= 0, minw(pL, rL), rL)
+                rR = jnp.where(rR >= 0, minw(pR, rR), rR)
             hit, t, s, v, ng = line_ops.intersect_round_line(
                 org, dir, p0, r0, p1, r1, tnear, tfar,
-                begin_cap=scene.line_fl[i] < 0.5)
+                begin_cap=scene.line_fl[i] < 0.5,
+                neighbors=(pL, rL, pR, rR))
         else:
             hit, t, s, v, ng = line_ops.intersect_flat_line(
                 org, dir, p0, r0, p1, r1, tnear, tfar)
