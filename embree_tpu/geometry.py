@@ -177,7 +177,7 @@ class CurveGeometry:
     kind: str = "round"          # round | flat | oriented
     tangents: Optional[object] = None  # (n_cp, 4) hermite tangents
     normals: Optional[object] = None   # (n_cp, 3) oriented-curve normals
-    tessellation_rate: int = 8
+    tessellation_rate: int = 4   # reference default, scene_curves.cpp
     algorithm: str = "native"    # native | tessellate
     mask: int = 0xFFFFFFFF
     enabled: bool = True

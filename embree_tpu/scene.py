@@ -125,6 +125,9 @@ class CommittedScene:
     # commit dilates bounds by max_radius_scale so the BVH stays conservative
     min_width_factor: float = dataclasses.field(default=0.0, metadata={"static": True})
     max_radius_scale: float = dataclasses.field(default=1.0, metadata={"static": True})
+    # ribbon sub-segment count (rtcSetGeometryTessellationRate; max over
+    # curve geometries — static jit arg for the flat-curve intersector)
+    curve_rate: int = dataclasses.field(default=4, metadata={"static": True})
 
     _ARRAY_FIELDS = None   # filled below
     _STATIC_FIELDS = None  # filled below
@@ -304,6 +307,7 @@ class _Merger:
         self.prim_t01 = []      # per-emit (n, 2) windows
         self._window = (0.0, 1.0)
         self._fidx = -1         # filter slot of the geometry being added
+        self.curve_rate = 4     # max tessellation_rate over native curves
 
     def total(self):
         return sum(r.shape[0] for r in self.rows) if self.rows else 0
@@ -555,6 +559,8 @@ class _Merger:
                     nbez = nbezb = np.zeros((n, 4, 3), np.float32)
                 self._emit(kind, gid, n, self.counts["curve"], inst_stack, mask)
                 self.counts["curve"] += n
+                self.curve_rate = max(
+                    self.curve_rate, int(getattr(g, "tessellation_rate", 4)))
                 self.curve["cp"].append(bez.astype(np.float32))
                 self.curve["cpb"].append(bezb.astype(np.float32))
                 self.curve["n"].append(nbez.astype(np.float32))
@@ -924,6 +930,7 @@ class _Merger:
             prim_t0=windows[:, 0], prim_t1=windows[:, 1],
             kinds_present=kinds_present,
             has_motion=bool(self.has_motion),
+            curve_rate=int(self.curve_rate),
             has_windows=has_windows,
             filters=tuple(self.filters),
             user_fns=tuple(self.user_fns),
@@ -1141,7 +1148,8 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         if k == KIND_CURVE_DISTANCE:
             return curve_ops.intersect_distance(org, dir, cp, tnear, tfar)
         if k == KIND_CURVE_FLAT:
-            return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar)
+            return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar,
+                                              n_seg=scene.curve_rate)
         if k == KIND_CURVE_ORIENTED:
             ncp = lerp(scene.curve_n[i], scene.curve_nb[i])
             return curve_ops.intersect_oriented(org, dir, cp, ncp, tnear, tfar)

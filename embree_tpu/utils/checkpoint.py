@@ -19,7 +19,7 @@ _CALLABLE_FIELDS = ("filters", "user_fns")
 
 # archive format version; bump whenever the CommittedScene array layout or
 # static-field set changes (pre-versioning archives predate round 3)
-FORMAT_VERSION = 4   # r3: +prim_filter, +line neighbor fields
+FORMAT_VERSION = 5   # r3: +prim_filter, +line neighbors, +curve_rate
 
 
 def save_scene(path: str, scene: CommittedScene):

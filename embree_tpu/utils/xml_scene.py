@@ -370,8 +370,10 @@ def _add_geometry(out: XMLScene, elem, xfm):
                 nrm = _apply_xfm(xfm, nrm, w=0.0)
             kind = {"flat": "flat", "ribbon": "flat", "round": "round",
                     "surface": "round", "normal_oriented": "oriented"}[ctype]
+            rate = int(float(elem.get("tessellation_rate", 4)))
             out.geometries.append(CurveGeometry(
-                pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm))
+                pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm,
+                tessellation_rate=rate))
     elif tag == "FurBall":
         for g in _furball(elem, xfm):
             out.geometries.append(g)
