@@ -59,6 +59,9 @@ ROWS = UGRP * 8
 STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
 STACK_HOT = int(_os_tune.environ.get("EMBREE_TPU_STACK_HOT", 2))
 UNROLL = int(_os_tune.environ.get("EMBREE_TPU_UNROLL", 2))
+# resident tables with <= this many tiles are served by unconditional
+# all-tile gathers (no fetch loop); see fetch() small path
+SMALL_TILES = int(_os_tune.environ.get("EMBREE_TPU_SMALL_TILES", 6))
 MAX_STEPS = 200_000      # runaway guard
 
 # Residency policy (v5e: 128 MiB VMEM/core). Tables within the budget stay
@@ -209,6 +212,28 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         stream = stage_ref is not None
         grp = jnp.clip(rec8 // LANE, 0, Gp - 1)
         lane = rec8 % LANE
+
+        if not stream and Gp <= SMALL_TILES:
+            # tiny resident table: serve EVERY tile unconditionally — no
+            # while loop, no cross-lane min reductions, no dynamic slices,
+            # no outstanding-set bookkeeping. Gp static gathers + selects
+            # per group beat the loop machinery for small top-of-tree
+            # tables (the common case for the node table).
+            for u in range(UGRP):
+                li = lane[8 * u:8 * u + 8]
+                idx = jnp.concatenate([li] * chunks, axis=0)
+                gu = grp[8 * u:8 * u + 1]              # (1,LANE) block-bcast
+                acc = jnp.take_along_axis(tab_ref[0][:8 * chunks], idx,
+                                          axis=1)
+                for g in range(1, Gp):
+                    got = jnp.take_along_axis(tab_ref[g][:8 * chunks], idx,
+                                              axis=1)
+                    selg = jnp.broadcast_to(gu == g, (8 * chunks, LANE))
+                    acc = jnp.where(selg, got, acc)
+                for k in range(chunks):
+                    buf_ref[k, 8 * u:8 * u + 8] = acc[8 * k:8 * k + 8]
+            return need8, jnp.int32(1)
+
         need_ref[:] = jnp.where(need8, 1, 0) + zeroR
 
         def serve(first: bool):
@@ -669,23 +694,23 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
         h8 = expand(hR)
         if _SORT_IMPL == "pergroup":
-            # v9 form: 16 independent per-group (8,128) bitonic sorts +
-            # 2-gather push-image alignment (kept selectable: measured
-            # within noise of the butterfly form on v5e)
+            # v11 form: 16 independent per-group (8,128) bitonic KEY-ONLY
+            # sorts. The child slot rides in the key's low 3 bits, so the
+            # ref permutation is reconstructed afterwards with ONE gather
+            # (crefs[key & 7]) instead of co-sorting refs through all 6
+            # stages — halves the sort phase's gather+select count.
             sorted_rows = []
             aligned_rows = []
             for u in range(UGRP):
                 sl = slice(8 * u, 8 * u + 8)
                 key = keyR[sl]
-                ref = crefs[sl]
                 for k, j in (() if "nosort" in _ABLATE else _SORT_STAGES):
                     perm8 = row8 ^ j
                     keepmin = ((row8 & k) == 0) == ((row8 & j) == 0)
                     key_p = jnp.take_along_axis(key, perm8, axis=0)
-                    ref_p = jnp.take_along_axis(ref, perm8, axis=0)
                     swap = (key_p < key) == keepmin
                     key = jnp.where(swap, key_p, key)
-                    ref = jnp.where(swap, ref_p, ref)
+                ref = jnp.take_along_axis(crefs[sl], key & 7, axis=0)
                 sorted_rows.append(ref)
                 h8u = h8[sl]
                 items = jnp.take_along_axis(

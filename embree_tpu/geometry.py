@@ -40,23 +40,29 @@ FilterFn = Callable  # (org, dir, t, u, v, ng, prim_id, geom_id) -> bool mask
 MAX_TIME_STEPS = 129   # reference RTC_MAX_TIME_STEP_COUNT (rtcore_common.h:54)
 
 
-def _sample_steps(arr, t):
+def _sample_steps(arr, t, time_range=(0.0, 1.0)):
     """Evaluate an (S, n, C) piecewise-linear motion buffer at global time
-    t in [0,1] (host numpy; the itime/ftime split of the reference's
-    Geometry::timeSegment). 2-D (static) buffers pass through."""
+    t (host numpy; the itime/ftime split of the reference's
+    Geometry::timeSegment, kernels/common/default.h:223 getTimeSegment).
+    The buffer's knots span time_range (rtcSetGeometryTimeRange,
+    rtcore_geometry.h:151); outside the range the boundary segment is
+    linearly EXTRAPOLATED — itime is clamped but ftime is not, exactly the
+    reference clamp(floor(.),0,S-2) + unclamped fraction. 2-D (static)
+    buffers pass through."""
     a = np.asarray(arr, np.float32)
     if a.ndim == 2:
         return a
     S = a.shape[0]
-    x = float(t) * (S - 1)
-    k = min(int(np.floor(x)), S - 2)
+    r0, r1 = float(time_range[0]), float(time_range[1])
+    x = (float(t) - r0) / (r1 - r0) * (S - 1)
+    k = min(max(int(np.floor(x)), 0), S - 2)
     w = np.float32(x - k)
     if w == 0.0:
         return a[k]
     return ((1.0 - w) * a[k] + w * a[k + 1]).astype(np.float32)
 
 
-def _split_timesteps(arr, name, window=(0.0, 1.0)):
+def _split_timesteps(arr, name, window=(0.0, 1.0), time_range=(0.0, 1.0)):
     """Accept (n, C) static or (S, n, C) S-step motion buffers (S in
     [2, 129], rtcSetGeometryTimeStepCount analog) and return the motion
     endpoints of the given time window, sampled piecewise-linearly.
@@ -65,20 +71,28 @@ def _split_timesteps(arr, name, window=(0.0, 1.0)):
     leading time axis. Multi-step (S > 2) buffers are exact because the
     scene merger splits prims at every interior knot time first (time-sliced
     replication — the MSMBlur time-split analog), so each window lies
-    within one linear segment."""
+    within one linear segment. A sub-[0,1] time_range shifts the knot grid
+    (and extrapolates beyond it); window endpoints sampled with
+    extrapolation keep per-window linearity exact because the boundary
+    segments extend linearly to ±inf."""
     a = np.asarray(arr, np.float32)
     if a.ndim == 3:
         S = a.shape[0]
         assert 2 <= S <= MAX_TIME_STEPS, \
             f"{name}: motion buffers need 2..{MAX_TIME_STEPS} time steps"
-        return _sample_steps(a, window[0]), _sample_steps(a, window[1]), True
+        return (_sample_steps(a, window[0], time_range),
+                _sample_steps(a, window[1], time_range), True)
     return a, a, False
 
 
-def motion_knots(arrays, window):
+def motion_knots(arrays, window, time_range=(0.0, 1.0)):
     """Interior knot times of S-step motion buffers falling strictly inside
-    the window — the prim replication boundaries for time slicing."""
+    the window — the prim replication boundaries for time slicing. Knot k
+    of an S-step buffer sits at global time
+    time_range[0] + (time_range[1]-time_range[0]) * k/(S-1)
+    (Geometry::timeStep, kernels/common/geometry.h:341)."""
     ks = set()
+    r0, r1 = float(time_range[0]), float(time_range[1])
     for a in arrays:
         if a is None:
             continue
@@ -86,7 +100,7 @@ def motion_knots(arrays, window):
         if a.ndim == 3 and a.shape[0] > 2:
             S = a.shape[0]
             for k in range(1, S - 1):
-                t = k / (S - 1)
+                t = r0 + (r1 - r0) * k / (S - 1)
                 if window[0] < t < window[1]:
                     ks.add(t)
     return sorted(ks)
@@ -107,6 +121,9 @@ class TriangleGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -121,6 +138,9 @@ class QuadGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -136,6 +156,9 @@ class PointGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -152,6 +175,9 @@ class LineSegmentsGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -182,6 +208,9 @@ class CurveGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -206,6 +235,9 @@ class UserGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -233,6 +265,9 @@ class InstanceGeometry:
     transform: object            # see class docstring
     mask: int = 0xFFFFFFFF
     enabled: bool = True
+    # rtcSetGeometryTimeRange on the instance: transform knots span
+    # [start, end]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -284,6 +319,7 @@ class InstanceArrayGeometry:
     transforms: object           # (N, 3, 4)
     mask: int = 0xFFFFFFFF
     enabled: bool = True
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -300,6 +336,9 @@ class GridGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):
@@ -325,6 +364,9 @@ class SubdivisionGeometry:
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None
+    # rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span
+    # [start, end] instead of [0,1]; extrapolated linearly outside
+    time_range: tuple = (0.0, 1.0)
 
     @property
     def num_prims(self):

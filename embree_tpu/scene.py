@@ -306,6 +306,7 @@ class _Merger:
         # buffers (tight per-segment bounds fall out of the pair tables)
         self.prim_t01 = []      # per-emit (n, 2) windows
         self._window = (0.0, 1.0)
+        self._trange = (0.0, 1.0)   # time_range of the geometry being added
         self._fidx = -1         # filter slot of the geometry being added
         self.curve_rate = 4     # max tessellation_rate over native curves
 
@@ -344,8 +345,9 @@ class _Merger:
         return float(abs(np.linalg.det(np.asarray(xf)[:3, :3]))) ** (1.0 / 3.0)
 
     def _steps(self, arr, name):
-        """Window-endpoint motion pair of a (possibly multi-step) buffer."""
-        return _split_timesteps(arr, name, self._window)
+        """Window-endpoint motion pair of a (possibly multi-step) buffer,
+        honoring the geometry's time_range (set per add() call)."""
+        return _split_timesteps(arr, name, self._window, self._trange)
 
     def _segmented(self, knots, fn):
         """Run fn once per sub-window of the current window split at the
@@ -360,6 +362,23 @@ class _Merger:
     def add(self, g, gid, inst_stack, inst_mask, xf, xfb=None):
         """Add geometry g (with optional instancing transforms xf / xfb for
         the current time window's endpoints)."""
+        # sub-[0,1] time ranges make the geometry EXIST only within the
+        # range ("appear and disappear during the camera shutter",
+        # doc/src/api/rtcSetGeometryTimeRange.md) — clip the current window
+        # to the range; an empty intersection drops the geometry entirely
+        tr = tuple(getattr(g, "time_range", (0.0, 1.0)))
+        cw = (max(self._window[0], tr[0]), min(self._window[1], tr[1]))
+        if cw[0] > cw[1]:
+            return
+        if cw != self._window:
+            outer = self._window
+            self._window = cw
+            try:
+                self.add(g, gid, inst_stack, inst_mask, xf, xfb)
+            finally:
+                self._window = outer
+            return
+
         if isinstance(g, InstanceGeometry):
             # split at the union of the instance transform's knots AND every
             # descendant buffer/nested-transform knot, so each sub-window is
@@ -373,8 +392,9 @@ class _Merger:
                     g, gid, inst_stack, inst_mask, xf, xfb))
                 return
             xfs = instance_transform_steps(g)
-            xf0 = _sample_steps(xfs, self._window[0])
-            xf1 = _sample_steps(xfs, self._window[1])
+            tr = getattr(g, "time_range", (0.0, 1.0))
+            xf0 = _sample_steps(xfs, self._window[0], tr)
+            xf1 = _sample_steps(xfs, self._window[1], tr)
             self._add_instance_xf(g.scene, gid, inst_stack, g.mask, xf0, xf1)
             return
         if isinstance(g, InstanceArrayGeometry):
@@ -385,10 +405,11 @@ class _Merger:
             return
 
         # multi-step (S > 2) motion geometry: replicate per linear segment
+        self._trange = tuple(getattr(g, "time_range", (0.0, 1.0)))
         knots = motion_knots(
             [getattr(g, a, None)
              for a in ("vertices", "points", "normals", "tangents")],
-            self._window)
+            self._window, self._trange)
         if knots:
             self._segmented(knots, lambda: self.add(
                 g, gid, inst_stack, inst_mask, xf, xfb))
@@ -645,8 +666,9 @@ class _Merger:
                 boundary_interpolation=g.boundary_interpolation)
             # motion steps subdivide independently (CC is linear in the
             # cage for fixed topology, so per-step refine + lerp is exact)
-            va, vb, motion = _split_timesteps(verts, "subdiv", self._window) \
-                if verts.ndim == 3 else (verts, verts, False)
+            va, vb, motion = (
+                _split_timesteps(verts, "subdiv", self._window, self._trange)
+                if verts.ndim == 3 else (verts, verts, False))
             self.has_motion |= motion or xf_motion
             q0 = self._xf_points(xf, va[quads])
             q1 = self._xf_points(xfb, vb[quads])
@@ -678,18 +700,19 @@ class _Merger:
         buffer and nested instance transform. Sub-windows split at this
         union are linear in every sampled quantity (the MSMBlur time-split
         correctness requirement, bvh_builder_msmblur.h:456)."""
-        arrays = []
+        pairs = []   # (array, its geometry's time_range)
 
         def walk_geom(cg):
+            tr = tuple(getattr(cg, "time_range", (0.0, 1.0)))
             if isinstance(cg, InstanceGeometry):
                 xfs = instance_transform_steps(cg)
-                arrays.append(xfs if xfs.ndim == 3 else None)
+                pairs.append((xfs if xfs.ndim == 3 else None, tr))
                 walk_scene(cg.scene)
             elif isinstance(cg, InstanceArrayGeometry):
                 walk_scene(cg.scene)
             else:
                 for a in ("vertices", "points", "normals", "tangents"):
-                    arrays.append(getattr(cg, a, None))
+                    pairs.append((getattr(cg, a, None), tr))
 
         def walk_scene(s):
             for _, cg in sorted(s._geoms.items()):
@@ -697,7 +720,10 @@ class _Merger:
                     walk_geom(cg)
 
         walk_geom(g)
-        return motion_knots(arrays, self._window)
+        ks = set()
+        for a, tr in pairs:
+            ks.update(motion_knots([a], self._window, tr))
+        return sorted(ks)
 
     def _add_instance_xf(self, child_scene, gid, inst_stack, mask, xf0, xf1):
         assert len(inst_stack) < 2, "max 2 instancing levels (MAX_INSTANCE_LEVELS)"
@@ -708,8 +734,9 @@ class _Merger:
                 # nested transforms sampled at the current window endpoints
                 # (knot splitting happened at the outer level)
                 sub = instance_transform_steps(cg)
-                s0 = _sample_steps(sub, self._window[0])
-                s1 = _sample_steps(sub, self._window[1])
+                ctr = getattr(cg, "time_range", (0.0, 1.0))
+                s0 = _sample_steps(sub, self._window[0], ctr)
+                s1 = _sample_steps(sub, self._window[1], ctr)
                 self._add_instance_xf(cg.scene, cgid, inst_stack + (gid,),
                                       mask & cg.mask,
                                       _compose_affine(xf0, s0),

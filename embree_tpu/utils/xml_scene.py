@@ -30,30 +30,45 @@ def _floats(text):
     return np.array(text.replace("+inf", "inf").split(), dtype=np.float32)
 
 
-def _nums(node):
-    if node is None or node.text is None:
+# loader context for binary buffers (<tag ofs=.. size=..> reads from the
+# sibling .bin file — XMLLoader::loadBinary, xml_loader.cpp:452) and for
+# <assign type=scene>/<ref id> indirection (sceneMap, xml_loader.cpp:1709)
+_CTX = {"bin": None, "scene_map": {}, "material_map": {}}
+
+
+def _nums(node, comps=1, dtype=np.float32):
+    if node is None:
+        return np.zeros(0, np.float32)
+    if node.get("ofs") is not None and _CTX["bin"] is not None:
+        ofs = int(node.get("ofs"))
+        size = int(node.get("size") or node.get("num") or 0)
+        raw = np.frombuffer(_CTX["bin"], dtype=dtype, count=size * comps,
+                            offset=ofs)
+        return raw.astype(np.float32) if dtype == np.float32 else raw
+    if node.text is None:
         return np.zeros(0, np.float32)
     return _floats(node.text)
 
 
-def _ints(node):
-    return _nums(node).astype(np.int32)
+def _ints(node, comps=1):
+    return _nums(node, comps, np.int32).astype(np.int32)
 
 
 def _buffer(elem, tag, comps):
-    """Read <tag> (static) or <animated_tag> (2 time steps).
-    Returns (n, comps), (2, n, comps), or None if absent."""
+    """Read <tag> (static) or <animated_tag> (S time steps — the
+    rtcSetGeometryTimeStepCount surface; msmblur scenes carry 3-4 steps).
+    Returns (n, comps), (S, n, comps), or None if absent."""
     anim = elem.find("animated_" + tag)
     if anim is not None:
-        steps = [c for c in anim if c.tag in (tag, tag + "2")]
-        arrs = [_nums(c).reshape(-1, comps) for c in steps[:2]]
+        steps = [c for c in anim if c.tag.startswith(tag)]
+        arrs = [_nums(c, comps).reshape(-1, comps) for c in steps]
         if len(arrs) == 1:
             arrs.append(arrs[0])
         return np.stack(arrs)
     node = elem.find(tag)
     if node is None:
         return None
-    return _nums(node).reshape(-1, comps)
+    return _nums(node, comps).reshape(-1, comps)
 
 
 def _positions(elem, comps):
@@ -293,24 +308,224 @@ def _compose(a, b):
     return out
 
 
-def _add_geometry(out: XMLScene, elem, xfm):
+# ---------------------------------------------------------------------------
+# animated transforms (TransformAnimation / multi-space Transform nodes) and
+# quaternion decompositions (xml_loader.cpp:1651 loadTransformAnimationNode,
+# loadQuaternion; decode per affinespace.h:222
+# quaternionDecompositionToAffineSpace)
+# ---------------------------------------------------------------------------
+
+_QUAT_RESAMPLE = 8   # sub-knots per quaternion segment (geometry.QUAT_RESAMPLE)
+
+
+def _parse_quaternion(node):
+    """<Quaternion> 16-float body or attribute form -> (S(3,4), quat(wxyz),
+    D-translation(3)): transform = D + R(q) @ (S_lin x + S_shift).
+    Body grid columns are (vx,vy,vz,p) with the quaternion in the w row and
+    the post-rotation translation stuffed in vx.y/vx.z/vy.z
+    (affinespace.h:222)."""
+    v = _nums(node)
+    if v.size == 16:
+        B = v.reshape(4, 4)
+        S = np.array([[B[0, 0], B[0, 1], B[0, 2], B[0, 3]],
+                      [0.0,     B[1, 1], B[1, 2], B[1, 3]],
+                      [0.0,     0.0,     B[2, 2], B[2, 3]]], np.float32)
+        quat = np.array([B[3, 3], B[3, 0], B[3, 1], B[3, 2]], np.float32)
+        D = np.array([B[1, 0], B[2, 0], B[2, 1]], np.float32)
+        return S, quat, D
+    scale = _floats(node.get("scale") or "1 1 1")
+    shift = _floats(node.get("shift") or "0 0 0")
+    skew = _floats(node.get("skew") or "0 0 0")
+    translate = _floats(node.get("translate") or "0 0 0")
+    quat = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    if node.get("rotate"):
+        r = _floats(node.get("rotate"))
+        ax = r[:3] / max(np.linalg.norm(r[:3]), 1e-20)
+        half = 0.5 * np.deg2rad(r[3])
+        quat = np.array([np.cos(half), *(np.sin(half) * ax)], np.float32)
+    if node.get("quaternion"):
+        q = _floats(node.get("quaternion"))
+        quat = np.array([q[3], q[0], q[1], q[2]], np.float32)
+    S = np.array([[scale[0], skew[0], skew[1], shift[0]],
+                  [0.0, scale[1], skew[2], shift[1]],
+                  [0.0, 0.0, scale[2], shift[2]]], np.float32)
+    # attribute form: shift is pre-rotation, translate post-rotation
+    return S, quat, translate[:3].astype(np.float32)
+
+
+def _quat_mat(q):
+    w, x, y, z = [float(v) for v in q / max(np.linalg.norm(q), 1e-20)]
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _qd_affine(qd):
+    S, q, D = qd
+    R = _quat_mat(q)
+    out = np.zeros((3, 4), np.float32)
+    out[:, :3] = R @ S[:, :3]
+    out[:, 3] = R @ S[:, 3] + D
+    return out
+
+
+def _qd_slerp(a, b, t):
+    Sa, qa, Da = a
+    Sb, qb, Db = b
+    qb = -qb if float(np.dot(qa, qb)) < 0 else qb
+    cosom = np.clip(abs(float(np.dot(qa, qb))
+                        / max(np.linalg.norm(qa) * np.linalg.norm(qb), 1e-20)),
+                    -1.0, 1.0)
+    om = np.arccos(cosom)
+    if np.sin(om) < 1e-4:
+        w0, w1 = 1.0 - t, t
+    else:
+        w0 = np.sin((1.0 - t) * om) / np.sin(om)
+        w1 = np.sin(t * om) / np.sin(om)
+    q = w0 * qa + w1 * qb
+    return ((1 - t) * Sa + t * Sb, q / max(np.linalg.norm(q), 1e-20),
+            (1 - t) * Da + t * Db)
+
+
+def _resample_qd_steps(qds):
+    """Slerp-resample a quaternion animation onto a dense affine knot stack
+    (piecewise-linear approximation of the rotational motion, matching
+    geometry.instance_transform_steps QUAT_RESAMPLE semantics)."""
+    L = len(qds)
+    if L == 1:
+        return _qd_affine(qds[0])[None]
+    q = _QUAT_RESAMPLE
+    while (L - 1) * q + 1 > 129 and q > 1:
+        q //= 2
+    mats = []
+    for seg in range(L - 1):
+        for j in range(q):
+            mats.append(_qd_affine(_qd_slerp(qds[seg], qds[seg + 1], j / q)))
+    mats.append(_qd_affine(qds[-1]))
+    return np.stack(mats)
+
+
+class _XF:
+    """Effective transform on the walk path: optional animated knot stack
+    (steps, spanning trange) over an accumulated static affine.
+    effective_k = steps[k] ∘ static."""
+
+    __slots__ = ("static", "steps", "trange")
+
+    def __init__(self, static=None, steps=None, trange=(0.0, 1.0)):
+        self.static = static
+        self.steps = steps
+        self.trange = trange
+
+    def compose_static(self, aff):
+        # static accumulates BELOW any animation: eff_k = steps[k] ∘ static
+        return _XF(_compose(self.static, aff), self.steps, self.trange)
+
+    def enter_anim(self, steps, trange):
+        steps = np.asarray(steps, np.float32)
+        if self.steps is None:
+            comp = (np.stack([_compose(self.static, m) for m in steps])
+                    if self.static is not None else steps)
+            return _XF(None, comp, trange)
+        # nested animation: resample BOTH animations onto one uniform knot
+        # grid over the union span and compose per knot —
+        # eff(t) = outer(t) ∘ static ∘ inner(t). Each factor is piecewise
+        # linear, so the product is piecewise quadratic; a denser grid
+        # bounds the chord error (the flatten-of-nested-TransformNodes
+        # role, scenegraph.cpp flatten)
+        t0 = min(self.trange[0], trange[0])
+        t1 = max(self.trange[1], trange[1])
+        S = min(33, 4 * max(self.steps.shape[0], steps.shape[0]) + 1)
+        comp = []
+        for k in range(S):
+            tk = t0 + (t1 - t0) * k / (S - 1)
+            outer = _sample_affine(self.steps, tk, self.trange)
+            inner = _sample_affine(steps, tk, trange)
+            comp.append(_compose(outer, _compose(self.static, inner)))
+        return _XF(None, np.stack(comp), (t0, t1))
+
+    def sample(self, k):
+        """Full affine of knot k (compose static below the animation)."""
+        return _compose(self.steps[k], self.static)
+
+
+def _sample_affine(steps, t, trange):
+    """Sample an (S,3,4) affine knot stack at global time t (knots uniform
+    over trange; linear matrix lerp, extrapolated outside)."""
+    S = steps.shape[0]
+    x = (float(t) - trange[0]) / (trange[1] - trange[0]) * (S - 1)
+    k = min(max(int(np.floor(x)), 0), S - 2)
+    w = np.float32(x - k)
+    return ((1.0 - w) * steps[k] + w * steps[k + 1]).astype(np.float32)
+
+
+def _sample_lin(pos, t, S_child):
+    """Sample a (P,n,C) buffer at global t (child knots uniform on [0,1]),
+    with linear extrapolation outside."""
+    P = pos.shape[0]
+    x = float(t) * (P - 1)
+    k = min(max(int(np.floor(x)), 0), P - 2)
+    w = np.float32(x - k)
+    return ((1.0 - w) * pos[k] + w * pos[k + 1]).astype(np.float32)
+
+
+def _xf_positions_anim(xf: "_XF", pos, radius_col=False):
+    """Apply an _XF to a static (n,C) or animated (P,n,C) buffer. Animated
+    transforms bake into an (S,n,C) knot stack over xf.trange (the
+    SceneGraph::flatten role): result_k = M_k @ buffer(t_k)."""
+    if pos is None:
+        return None
+    pos = np.asarray(pos, np.float32)
+    if xf is None or xf.steps is None:
+        return _xfm_positions(xf.static if xf is not None else None,
+                              pos, radius_col)
+    S = xf.steps.shape[0]
+    outs = []
+    for k in range(S):
+        tk = k / (S - 1)            # child buffers span [0,1] locally
+        pk = _sample_lin(pos, tk, S) if pos.ndim == 3 else pos
+        outs.append(_xfm_positions(xf.sample(k), pk, radius_col))
+    return np.stack(outs)
+
+
+def _xf_vectors_anim(xf: "_XF", vec):
+    """Transform direction vectors (w=0) through an _XF."""
+    if vec is None:
+        return None
+    vec = np.asarray(vec, np.float32)
+    if xf is None or (xf.static is None and xf.steps is None):
+        return vec
+    if xf.steps is None:
+        return _apply_xfm(xf.static, vec, w=0.0)
+    S = xf.steps.shape[0]
+    outs = []
+    for k in range(S):
+        vk = _sample_lin(vec, k / (S - 1), S) if vec.ndim == 3 else vec
+        outs.append(_apply_xfm(xf.sample(k), vk, w=0.0))
+    return np.stack(outs)
+
+
+def _add_geometry(out: XMLScene, elem, xf, trange=None):
     tag = elem.tag
     kd = _parse_material_kd(elem)
+    n0 = len(out.geometries)
 
     if tag == "TriangleMesh" or tag == "Mesh":
-        pos = _xfm_positions(xfm, _positions(elem, 3))
-        idx = _ints(elem.find("triangles")).reshape(-1, 3)
+        pos = _xf_positions_anim(xf, _positions(elem, 3))
+        idx = _ints(elem.find("triangles"), 3).reshape(-1, 3)
         out.geometries.append(TriangleGeometry(pos, idx))
     elif tag == "QuadMesh":
-        pos = _xfm_positions(xfm, _positions(elem, 3))
-        idx = _ints(elem.find("indices")).reshape(-1, 4)
+        pos = _xf_positions_anim(xf, _positions(elem, 3))
+        idx = _ints(elem.find("indices"), 4).reshape(-1, 4)
         out.geometries.append(QuadGeometry(pos, idx))
     elif tag == "GridMesh":
-        pos = _xfm_positions(xfm, _positions(elem, 3))
-        grids = _ints(elem.find("grids")).reshape(-1, 4)
+        pos = _xf_positions_anim(xf, _positions(elem, 3))
+        grids = _ints(elem.find("grids"), 4).reshape(-1, 4)
         out.geometries.append(GridGeometry(pos, grids))
     elif tag == "SubdivisionMesh":
-        pos = _xfm_positions(xfm, _positions(elem, 3))
+        pos = _xf_positions_anim(xf, _positions(elem, 3))
         idx = _ints(elem.find("position_indices"))
         faces = _ints(elem.find("faces"))
         creases = {}
@@ -345,7 +560,7 @@ def _add_geometry(out: XMLScene, elem, xfm):
             basis, ctype = "bspline", "flat"
         elif tag == "BSplineCurves":
             basis, ctype = "bspline", "round"
-        pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
+        pos = _xf_positions_anim(xf, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
         if basis == "bspline":
             # NaN end control points trigger the b-spline edge rule
@@ -364,10 +579,11 @@ def _add_geometry(out: XMLScene, elem, xfm):
             out.geometries.append(LineSegmentsGeometry(
                 pos, idx, kind="round" if ctype == "round" else "flat"))
         else:
-            tan = _buffer(elem, "tangents", 4)
-            nrm = _buffer(elem, "normals", 3)
-            if nrm is not None and xfm is not None:
-                nrm = _apply_xfm(xfm, nrm, w=0.0)
+            tan = _xf_positions_anim(xf, _buffer(elem, "tangents", 4),
+                                     radius_col=True) \
+                if elem.find("tangents") is not None \
+                or elem.find("animated_tangents") is not None else None
+            nrm = _xf_vectors_anim(xf, _buffer(elem, "normals", 3))
             kind = {"flat": "flat", "ribbon": "flat", "round": "round",
                     "surface": "round", "normal_oriented": "oriented"}[ctype]
             rate = int(float(elem.get("tessellation_rate", 4)))
@@ -375,21 +591,20 @@ def _add_geometry(out: XMLScene, elem, xfm):
                 pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm,
                 tessellation_rate=rate))
     elif tag == "FurBall":
-        for g in _furball(elem, xfm):
+        assert xf is None or xf.steps is None, "animated FurBall unsupported"
+        for g in _furball(elem, xf.static if xf is not None else None):
             out.geometries.append(g)
             out.kd.append(kd)
         return True
     elif tag in ("LineSegments", "RoundLineSegments", "ConeSegments"):
-        pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
+        pos = _xf_positions_anim(xf, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
         kind = "round" if tag != "LineSegments" else "flat"
         out.geometries.append(LineSegmentsGeometry(pos, idx, kind=kind))
     elif tag == "Points":
         ptype = elem.get("type", "sphere")
-        pos = _xfm_positions(xfm, _positions(elem, 4), radius_col=True)
-        nrm = _buffer(elem, "normals", 3)
-        if nrm is not None and xfm is not None:
-            nrm = _apply_xfm(xfm, nrm, w=0.0)
+        pos = _xf_positions_anim(xf, _positions(elem, 4), radius_col=True)
+        nrm = _xf_vectors_anim(xf, _buffer(elem, "normals", 3))
         kind = {"sphere": "sphere", "disc": "disc",
                 "oriented": "oriented_disc",
                 "oriented_disc": "oriented_disc"}[ptype]
@@ -397,10 +612,21 @@ def _add_geometry(out: XMLScene, elem, xfm):
     else:
         return False
     out.kd.append(kd)
+    # time range (rtcSetGeometryTimeRange analog): an animated transform
+    # carries its own span; otherwise a pending <TimeRange> applies to the
+    # geometry's motion buffers (SceneGraph::set_time_range semantics)
+    tr = xf.trange if (xf is not None and xf.steps is not None) else trange
+    if tr is not None:
+        for g in out.geometries[n0:]:
+            g.time_range = (float(tr[0]), float(tr[1]))
     return True
 
 
-def _walk(out: XMLScene, elem, xfm):
+def _walk(out: XMLScene, elem, xf, trange=None):
+    """Walk the scene DOM carrying an _XF (static + optional animated
+    transform) and a pending <TimeRange> (consumed by the first
+    transform-animation or mesh boundary — SceneGraph::set_time_range
+    stops at TransformNode/mesh nodes, scenegraph.cpp:1196)."""
     tag = elem.tag
     if tag == "PerspectiveCamera":
         cam = dict(
@@ -417,33 +643,87 @@ def _walk(out: XMLScene, elem, xfm):
         params = {c.tag: _nums(c) for c in elem}
         out.lights.append((tag, params))
         return
-    if tag == "Transform":
-        sub = None
-        children = []
+    if tag == "assign":
+        # symbol definitions: not instantiated until <ref> (xml_loader:1709)
+        if elem.get("type") == "scene" and len(elem):
+            key = elem.get("id") or elem[0].get("id")
+            _CTX["scene_map"][key] = elem[0]
+        elif elem.get("type") == "material" and len(elem):
+            key = elem.get("id") or elem[0].get("id")
+            _CTX["material_map"][key] = elem[0]
+        return
+    if elem.get("id") is not None and tag != "ref":
+        # every id-carrying node is referenceable once seen (loadNode)
+        _CTX["scene_map"].setdefault(elem.get("id"), elem)
+    if tag == "ref":
+        target = _CTX["scene_map"].get(elem.get("id"))
+        if target is not None:
+            _walk(out, target, xf, trange)
+        return
+    if tag == "TimeRange":
+        a, b = [float(v) for v in _floats(elem.get("time"))[:2]]
         for c in elem:
-            if c.tag in ("AffineSpace",):
-                sub = _parse_affine(c)
+            _walk(out, c, xf, trange=(a, b))
+        return
+    if tag in ("Transform", "TransformAnimation"):
+        spaces = []          # (kind, payload) in document order
+        children = []
+        quaternion = False
+        for c in elem:
+            if c.tag == "AffineSpace":
+                spaces.append(_parse_affine(c))
+            elif c.tag == "Quaternion":
+                spaces.append(_parse_quaternion(c))
+                quaternion = True
             else:
                 children.append(c)
-        new_xfm = _compose(xfm, sub)
+        if len(spaces) <= 1 and tag == "Transform":
+            if quaternion:
+                sub = _qd_affine(spaces[0]) if spaces else None
+            else:
+                sub = spaces[0] if spaces else None
+            new_xf = (xf or _XF()).compose_static(sub) if sub is not None \
+                else (xf or _XF())
+            # a static TransformNode consumes (and discards) the pending
+            # time range — set_time_range stops at TransformNode
+            for c in children:
+                _walk(out, c, new_xf, None)
+            return
+        # animated transform: bake the knot stack (flatten role)
+        steps = _resample_qd_steps(spaces) if quaternion \
+            else np.stack(spaces)
+        new_xf = (xf or _XF()).enter_anim(steps, trange or (0.0, 1.0))
         for c in children:
-            _walk(out, c, new_xfm)
+            _walk(out, c, new_xf, None)
         return
     if tag in ("Group", "scene", "Instance", "Flatten"):
         for c in elem:
-            _walk(out, c, xfm)
+            _walk(out, c, xf, trange)
         return
-    if _add_geometry(out, elem, xfm):
+    if _add_geometry(out, elem, xf, trange):
         return
-    # unknown containers: recurse (covers extras like TimeRange wrappers)
+    # unknown containers: recurse
     for c in elem:
-        _walk(out, c, xfm)
+        _walk(out, c, xf, trange)
 
 
 def load_xml(path) -> XMLScene:
+    import os
     root = ET.parse(path).getroot()
     out = XMLScene()
-    _walk(out, root, None)
+    _CTX["scene_map"] = {}
+    _CTX["material_map"] = {}
+    _CTX["bin"] = None
+    binpath = os.path.splitext(str(path))[0] + ".bin"
+    if os.path.exists(binpath):
+        with open(binpath, "rb") as f:
+            _CTX["bin"] = f.read()
+    try:
+        _walk(out, root, _XF())
+    finally:
+        _CTX["bin"] = None
+        _CTX["scene_map"] = {}
+        _CTX["material_map"] = {}
     return out
 
 

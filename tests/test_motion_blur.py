@@ -205,3 +205,95 @@ def test_nested_instance_inner_transform_knots():
     z = np.array([0.0, 1.0, 2.0, 2.0, 2.0])              # piecewise linear
     assert np.all(np.asarray(h.valid))
     np.testing.assert_allclose(np.asarray(h.t), 10.0 - z, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# rtcSetGeometryTimeRange (rtcore_geometry.h:151): motion buffers span a
+# sub-(or super-)range of [0,1]; segment index clamps but fractional time
+# does not -> linear extrapolation outside (default.h:223 getTimeSegment)
+# ---------------------------------------------------------------------------
+
+def _tri_at_z(z):
+    base = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    return base + np.array([0, 0, z], np.float32)
+
+
+def test_time_range_subrange_appears_disappears():
+    """Sub-[0,1] time range: the geometry EXISTS only within its range
+    ("appear and disappear during the camera shutter",
+    doc/src/api/rtcSetGeometryTimeRange.md); inside, positions interpolate
+    over the local coordinate (t-r0)/(r1-r0)."""
+    verts = np.stack([_tri_at_z(0.0), _tri_at_z(4.0)])
+    s = Scene()
+    s.attach(et.TriangleGeometry(verts, np.array([[0, 1, 2]], np.int32),
+                                 time_range=(0.25, 0.75)))
+    cs = s.commit()
+    times = np.array([0.0, 0.25, 0.5, 0.75, 1.0], np.float32)
+    org = jnp.tile(jnp.array([[0.0, 0.0, 30.0]]), (5, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (5, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    valid = np.asarray(h.valid)
+    assert list(valid) == [False, True, True, True, False]
+    zloc = (times[1:4] - 0.25) / 0.5 * 4.0
+    np.testing.assert_allclose(np.asarray(h.t)[1:4], 30.0 - zloc, atol=1e-4)
+
+
+def test_time_range_superrange_interpolates():
+    """A range extending beyond [0,1] shifts the knot grid: ray times in
+    [0,1] interpolate within the boundary segments (default.h:223)."""
+    verts = np.stack([_tri_at_z(0.0), _tri_at_z(4.0)])
+    s = Scene()
+    s.attach(et.TriangleGeometry(verts, np.array([[0, 1, 2]], np.int32),
+                                 time_range=(-0.2, 1.2)))
+    cs = s.commit()
+    times = np.array([0.0, 0.3, 0.5, 0.8, 1.0], np.float32)
+    zloc = (times + 0.2) / 1.4 * 4.0
+    org = jnp.tile(jnp.array([[0.0, 0.0, 30.0]]), (5, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (5, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    assert np.all(np.asarray(h.valid))
+    np.testing.assert_allclose(np.asarray(h.t), 30.0 - zloc, atol=1e-4)
+
+
+def test_time_range_multistep_knots_move():
+    """S=3 steps over [0.4, 1]: interior knot sits at global 0.7; the
+    geometry is absent below 0.4 and piecewise linear above."""
+    verts = np.stack([_tri_at_z(0.0), _tri_at_z(1.0), _tri_at_z(0.0)])
+    s = Scene()
+    s.attach(et.TriangleGeometry(verts, np.array([[0, 1, 2]], np.int32),
+                                 time_range=(0.4, 1.0)))
+    cs = s.commit()
+    times = np.array([0.0, 0.4, 0.55, 0.7, 0.85, 1.0], np.float32)
+    x = (times - 0.4) / 0.6 * 2.0        # local segment coordinate
+    k = np.clip(np.floor(x), 0, 1)
+    w = x - k
+    zs = np.array([0.0, 1.0, 0.0])
+    z = (1 - w) * zs[k.astype(int)] + w * zs[k.astype(int) + 1]
+    org = jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (6, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (6, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    valid = np.asarray(h.valid)
+    assert list(valid) == [False, True, True, True, True, True]
+    np.testing.assert_allclose(np.asarray(h.t)[1:], (10.0 - z)[1:], atol=1e-4)
+
+
+def test_time_range_instance_transform():
+    """Instance transform animation with a sub range: the whole instance
+    appears only within it (scene_instance.h time_range handling)."""
+    base = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    leaf = Scene()
+    leaf.attach(et.TriangleGeometry(base, np.array([[0, 1, 2]], np.int32)))
+    xfs = np.zeros((2, 3, 4), np.float32)
+    xfs[:, :3, :3] = np.eye(3)
+    xfs[1, 2, 3] = 4.0                   # z: 0 -> 4 over [0.5, 1.0]
+    top = Scene()
+    top.attach(et.InstanceGeometry(leaf, xfs, time_range=(0.5, 1.0)))
+    cs = top.commit()
+    times = np.array([0.0, 0.5, 0.75, 1.0], np.float32)
+    z = (times - 0.5) / 0.5 * 4.0
+    org = jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (4, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    h = jax.jit(intersect)(cs, et.make_rays(org, d, time=jnp.asarray(times)))
+    valid = np.asarray(h.valid)
+    assert list(valid) == [False, True, True, True]
+    np.testing.assert_allclose(np.asarray(h.t)[1:], (10.0 - z)[1:], atol=1e-4)
