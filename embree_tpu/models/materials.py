@@ -143,7 +143,12 @@ def fresnel_dielectric(cos_i, eta):
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # floor the sqrt argument: at (or beyond) total internal reflection
+    # sqrt(0) has an infinite derivative, and even a ZERO cotangent through
+    # it turns into NaN (0*inf) — which poisons whole-image gradients when
+    # the path loop's scan transposes the brdf-sampling branch
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
+    cos_t = jnp.where(tir, 0.0, cos_t)
     rs = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
     rp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
     F = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))

@@ -46,8 +46,12 @@ def trace_paths(scene: CommittedScene, mats: MaterialSet, lights: LightSet,
         L = L + jnp.where((alive & ~hits.valid)[..., None],
                           Lw * lights.ambient, 0.0)
 
-        p = cur_rays.org + cur_rays.dir * hits.t[..., None]
-        ng = normalize(hits.ng)
+        # sanitize miss lanes (t = inf): an inf hit point would poison the
+        # BACKWARD pass — jnp.where zeros the unselected branch's value but
+        # inf/nan still propagate through its cotangent (0 * nan = nan)
+        t_safe = jnp.where(valid, hits.t, 0.0)
+        p = cur_rays.org + cur_rays.dir * t_safe[..., None]
+        ng = normalize(jnp.where(valid[..., None], hits.ng, 1.0))
         wo = -normalize(cur_rays.dir)
         entering = dot(ng, wo) > 0            # outside -> inside transition
         n = jnp.where(entering[..., None], ng, -ng)   # face forward
@@ -76,15 +80,21 @@ def trace_paths(scene: CommittedScene, mats: MaterialSet, lights: LightSet,
         side = jnp.where(dot(wi, n) >= 0, 1.0, -1.0)[..., None]
         nxt = make_rays(p + side * n * 1e-3, wi, tnear=1e-4,
                         time=cur_rays.time)
-        # keep dead rays inert (tfar < tnear)
+        # keep dead rays inert (tfar < tnear). tfar is carried FINITE
+        # (1e30, not inf): scan's transpose instantiates zero cotangents
+        # for the ray carry and an inf residual turns 0*inf into NaN,
+        # poisoning every gradient through the path loop
         nxt = RayBatch(org=nxt.org, dir=nxt.dir, tnear=nxt.tnear,
-                       tfar=jnp.where(alive, nxt.tfar, -1.0),
+                       tfar=jnp.where(alive, 1e30, -1.0),
                        time=nxt.time, mask=cur_rays.mask)
         return (L, Lw, nxt, alive), None
 
+    rays0 = RayBatch(org=rays.org, dir=rays.dir, tnear=rays.tnear,
+                     tfar=jnp.minimum(rays.tfar, 1e30), time=rays.time,
+                     mask=rays.mask)
     keys = jax.random.split(key, max_depth)
     (L, _, _, _), _ = jax.lax.scan(
-        bounce, (L0, Lw0, rays, jnp.ones(shape, bool)), keys)
+        bounce, (L0, Lw0, rays0, jnp.ones(shape, bool)), keys)
     return L
 
 
