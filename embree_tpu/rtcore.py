@@ -40,6 +40,11 @@ class DeviceConfig:
     tessellation_rate: int = 8
     max_leaf_size: int = 4
     robust: bool = False
+    # RTC_SCENE_FLAG_COMPACT analog: drop the unpacked per-kind tables when
+    # the packed kernel table can serve hits alone (state.h compact accels)
+    compact: bool = False
+    # spatial-split replication budget (state.h:117, default 1.2)
+    max_spatial_split_replications: float = 1.2
     raw: Dict[str, str] = dataclasses.field(default_factory=dict)
 
     _QUALITY = {"low": BuildQuality.LOW, "medium": BuildQuality.MEDIUM,
@@ -73,6 +78,10 @@ class DeviceConfig:
                 self.max_leaf_size = int(val)
             elif key == "robust":
                 self.robust = val in ("", "1", "true")
+            elif key == "compact":
+                self.compact = val in ("", "1", "true")
+            elif key == "max_spatial_split_replications":
+                self.max_spatial_split_replications = float(val)
         return self
 
 
@@ -149,7 +158,10 @@ class Device:
                   robust: Optional[bool] = None) -> Scene:
         scene = Scene(quality=self.config.quality if quality is None else quality,
                       robust=self.config.robust if robust is None else robust,
-                      threads=self.config.threads)
+                      threads=self.config.threads,
+                      compact=self.config.compact,
+                      max_spatial_split_replications=(
+                          self.config.max_spatial_split_replications))
         scene._device = self
         return scene
 

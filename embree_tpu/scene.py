@@ -128,6 +128,10 @@ class CommittedScene:
     # ribbon sub-segment count (rtcSetGeometryTessellationRate; max over
     # curve geometries — static jit arg for the flat-curve intersector)
     curve_rate: int = dataclasses.field(default=4, metadata={"static": True})
+    # RTC_SCENE_FLAG_COMPACT analog: unpacked kind tables dropped, hits are
+    # served from the packed kernel attributes (point_query/collide and
+    # differentiable re-intersection are unavailable on compact scenes)
+    compact: bool = dataclasses.field(default=False, metadata={"static": True})
 
     _ARRAY_FIELDS = None   # filled below
     _STATIC_FIELDS = None  # filled below
@@ -171,10 +175,18 @@ class Scene:
     def __init__(self, quality: int = BuildQuality.MEDIUM,
                  robust: bool = False, threads: int = 0,
                  min_width_factor: float = 0.0,
-                 max_radius_scale: float = 1.0):
+                 max_radius_scale: float = 1.0,
+                 compact: bool = False,
+                 max_spatial_split_replications: float = 1.2):
         self.quality = quality
         # threads= config knob: native-builder OpenMP team size (0 = all)
         self.threads = threads
+        # RTC_SCENE_FLAG_COMPACT analog (state.h compact accel variants):
+        # pure-triangle packable scenes drop the unpacked kind tables and
+        # serve hits from the packed kernel attributes alone
+        self.compact = compact
+        # HIGH-quality spatial-split replication budget (state.h:117)
+        self.max_spatial_split_replications = max_spatial_split_replications
         # min-width (rtcSetGeometryMaxRadiusScale + minWidthDistanceFactor)
         self.min_width_factor = min_width_factor
         self.max_radius_scale = max_radius_scale
@@ -255,6 +267,8 @@ class Scene:
         m.threads = getattr(self, "threads", 0)
         m.min_width_factor = getattr(self, "min_width_factor", 0.0)
         m.max_radius_scale = getattr(self, "max_radius_scale", 1.0)
+        m.compact = getattr(self, "compact", False)
+        m.max_ssr = getattr(self, "max_spatial_split_replications", 1.2)
 
         if (self.quality == BuildQuality.REFIT and self.committed is not None
                 and m.total() == self.committed.num_prims):
@@ -879,7 +893,8 @@ class _Merger:
             tv[tsel, 2] = tri["v2"][d]
             lo, up, ref_ids = presplit(
                 lo, up, np.arange(T, dtype=np.int32), tri_sel,
-                tv[:, 0], tv[:, 1], tv[:, 2])
+                tv[:, 0], tv[:, 1], tv[:, 2],
+                budget_factor=getattr(self, "max_ssr", 1.2))
             if ref_ids.shape[0] == T:
                 ref_ids = None          # nothing split
 
@@ -928,6 +943,15 @@ class _Merger:
                     pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line,
                     windows if has_windows else None)
 
+        # compact mode: the packed table alone serves pure-triangle hits
+        # (kernel-emitted u/v/Ng), so the unpacked duplicates are dropped —
+        # scene_stats then shows only one resident copy (VERDICT r3 #10)
+        compact = bool(getattr(self, "compact", False) and packed is not None
+                       and packed.tri_attrs)
+        if compact:
+            z3 = np.zeros((0, 3), np.float32)
+            tri = {k: z3 for k in tri}
+
         cs = CommittedScene(
             bvh=bvh8,
             prim_kind=rows[:, 0].astype(np.int32),
@@ -964,6 +988,7 @@ class _Merger:
             robust=robust,
             min_width_factor=mwf,
             max_radius_scale=float(mrs),
+            compact=compact,
         )
         getattr(self, "progress", lambda f: None)(1.0)
         # local_devices: under multi-process jax.distributed, devices()[0]
@@ -1301,8 +1326,14 @@ def _use_pallas(scene: CommittedScene, backend: Optional[str]) -> bool:
         return True
     # auto: compiled Pallas kernel on TPU only, and only for scenes the
     # packed table supports (tri/quad/point/line kinds incl. 2-step motion
-    # and masks; filters and user callbacks force the composable jnp engine)
-    return scene.packed is not None and jax.devices()[0].platform != "cpu"
+    # and masks; filters and user callbacks force the composable jnp engine).
+    # Compact scenes have no unpacked tables, so the packed path is the
+    # only one able to serve them (interpreted on CPU).
+    if scene.packed is None:
+        return False
+    if getattr(scene, "compact", False):
+        return True
+    return jax.devices()[0].platform != "cpu"
 
 
 def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
@@ -1312,7 +1343,8 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
         _, best = trav_pallas.traverse_packed(
             scene.packed, flat.org, flat.dir, flat.tnear, flat.tfar,
             flat.mask.astype(jnp.int32), occlusion=occlusion,
-            interpret=PALLAS_INTERPRET, robust=scene.robust,
+            interpret=PALLAS_INTERPRET
+            or jax.devices()[0].platform == "cpu", robust=scene.robust,
             time=flat.time)
         return best
     result = trav_mod.traverse(
@@ -1349,11 +1381,13 @@ def intersect(scene: CommittedScene, rays: RayBatch,
     sg_scene = jax.lax.stop_gradient(scene)
     sg_flat = jax.lax.stop_gradient(flat)
 
-    if not differentiable and _use_pallas(sg_scene, backend):
+    fast = (not differentiable) or getattr(sg_scene, "compact", False)
+    if fast and _use_pallas(sg_scene, backend):
         res = trav_pallas.traverse_packed(
             sg_scene.packed, sg_flat.org, sg_flat.dir, sg_flat.tnear,
             sg_flat.tfar, sg_flat.mask.astype(jnp.int32), occlusion=False,
-            interpret=PALLAS_INTERPRET, robust=sg_scene.robust,
+            interpret=PALLAS_INTERPRET
+            or jax.devices()[0].platform == "cpu", robust=sg_scene.robust,
             time=sg_flat.time, want_attrs=True,
             id_tables=(sg_scene.prim_local, sg_scene.prim_geom)
             + tuple(sg_scene.prim_inst[:, j]

@@ -135,3 +135,62 @@ def test_threads_config_knob():
     dev = Device("threads=2,quality=medium")
     s = dev.new_scene()
     assert s.threads == 2
+
+
+def test_compact_flag_drops_unpacked_tables():
+    """RTC_SCENE_FLAG_COMPACT analog (state.h compact accels): a compact
+    pure-triangle scene drops the unpacked kind tables and still serves
+    correct hits from the packed kernel attributes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import embree_tpu as et
+    from embree_tpu.query import scene_stats
+
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    i = rng.integers(0, 300, (200, 3)).astype(np.int32)
+    sd = et.Scene()
+    sd.attach(et.TriangleGeometry(v, i))
+    base = sd.commit()
+    sc = et.Scene(compact=True)
+    sc.attach(et.TriangleGeometry(v, i))
+    comp = sc.commit()
+    assert comp.compact and comp.tri_v0.shape[0] == 0
+    assert (scene_stats(comp)["memory_bytes"]
+            < scene_stats(base)["memory_bytes"])
+    org = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    h0 = jax.jit(et.intersect)(base, et.make_rays(org, d))
+    h1 = jax.jit(et.intersect)(comp, et.make_rays(org, d))
+    np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h1.valid))
+    np.testing.assert_allclose(np.asarray(h0.t)[np.asarray(h0.valid)],
+                               np.asarray(h1.t)[np.asarray(h1.valid)],
+                               rtol=1e-5)
+
+
+def test_max_spatial_split_replications_knob():
+    """The HIGH-quality replication budget (state.h:117) is parsed and
+    honored: a higher budget may only grow the replicated ref count."""
+    import numpy as np
+    import embree_tpu as et
+    from embree_tpu.rtcore import Device
+    from embree_tpu.scene import BuildQuality
+
+    d = Device("max_spatial_split_replications=3.0")
+    assert d.config.max_spatial_split_replications == 3.0
+    rng = np.random.default_rng(1)
+    # long diagonal slivers: presplit targets
+    base = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    v = np.concatenate([base, base + np.array([4, 4, 4], np.float32),
+                        base + np.array([4.1, 4, 4], np.float32)])
+    i = (np.arange(64)[:, None] + np.array([[0, 64, 128]])).astype(np.int32)
+
+    def leaf_refs(ssr):
+        s = et.Scene(quality=BuildQuality.HIGH,
+                     max_spatial_split_replications=ssr)
+        s.attach(et.TriangleGeometry(v, i))
+        cs = s.commit()
+        return int(np.asarray(cs.bvh.prim_order).shape[0])
+
+    assert leaf_refs(3.0) >= leaf_refs(1.0)
