@@ -57,8 +57,9 @@ N_FIELDS = 9
 
 
 def ltab_rows(has_mask: bool, has_motion: bool = False,
-              has_kinds: bool = False, has_win: bool = False) -> int:
-    return 8 * (N_FIELDS * (2 if has_motion else 1)
+              has_kinds: bool = False, has_win: bool = False,
+              nf: int = N_FIELDS) -> int:
+    return 8 * (nf * (2 if has_motion else 1)
                 + (1 if has_mask else 0) + (1 if has_kinds else 0)
                 + (2 if has_win else 0))
 
@@ -78,11 +79,15 @@ class PackedScene:
     #                            kernel can emit exact u/v/Ng hit attributes
     has_win: bool = False      # static: leaf records carry per-slot [t0,t1]
     #                            time-window chunks (multi-step motion)
+    nf: int = N_FIELDS         # static: generic fields per slot (16 when
+    #                            native curve kinds store 4x(xyz+r) CPs)
+    curve_rate: int = 4        # static: ribbon/tessellation sub-segments
 
     def tree_flatten(self):
         return ((self.node_table, self.leaf_table, self.pid_map),
                 (self.has_mask, self.has_motion, self.has_kinds,
-                 self.kind_classes, self.tri_attrs, self.has_win))
+                 self.kind_classes, self.tri_attrs, self.has_win,
+                 self.nf, self.curve_rate))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -123,7 +128,7 @@ def _bf16_bits_dir(x, toward_pos: bool):
 def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
          slot_mask, slot_pid, slot_factor: int = 1, has_mask: bool = True,
          has_motion: bool = False, has_kinds: bool = False,
-         kind_classes=(0,), slot_t01=None) -> PackedScene:
+         kind_classes=(0,), slot_t01=None, curve_rate: int = 4) -> PackedScene:
     """Pack the first n_wide wide nodes + their leaves into record tables.
 
     slot_* arrays index SLOTS: merged prim p owns slots
@@ -155,9 +160,10 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     packed_ref = packed_ref.reshape(n_wide, W)
 
     has_win = slot_t01 is not None
+    nf = int(np.asarray(slot_fields_a).shape[1])
     GN = max(1, -(-n_wide // LANE))
     GL = max(1, -(-max(n_leaf, 1) // LANE))
-    leaf_rows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
+    leaf_rows = ltab_rows(has_mask, has_motion, has_kinds, has_win, nf)
 
     # --- internal records (int32) ---
     internal = np.zeros((n_wide, NODE_ROWS), np.int32)
@@ -234,4 +240,4 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
                        kind_classes=tuple(kind_classes),
                        tri_attrs=(tuple(kind_classes) == (0,)
                                   and slot_factor == 1),
-                       has_win=has_win)
+                       has_win=has_win, nf=nf, curve_rate=curve_rate)

@@ -104,16 +104,19 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
             robust=False, has_motion=False, has_kinds=False,
             kind_classes=(0,), want_attrs=False, has_win=False,
-            NSL_N=0, NSL_L=0):
+            NSL_N=0, NSL_L=0, NF=N_FIELDS, CURVE_RATE=4):
     # leaf chunk layout (pack.py):
     # fields A | [fields B] | [mask] | [kind] | [t0 | t1]
-    CH_MASK = N_FIELDS * (2 if has_motion else 1)
+    CH_MASK = NF * (2 if has_motion else 1)
     CH_KIND = CH_MASK + (1 if has_mask else 0)
     CH_T0 = CH_KIND + (1 if has_kinds else 0)
     LCH = CH_T0 + (2 if has_win else 0)
-    # expanded-ray scratch rows: org(3) dir(3) rdir(3) tnear | [time] | [mask]
+    # expanded-ray scratch rows: org(3) dir(3) rdir(3) tnear | [time] |
+    # [mask] | [curve ray frame vx(3) vy(3) vz*ds(3) ds]
     RAY_TIME = 10
     RAY_MASK = 10 + (1 if has_motion else 0)
+    has_curves = (8 in kind_classes) or (9 in kind_classes)
+    RAY_FRAME = RAY_MASK + (1 if has_mask else 0)
     INF_BITS = jnp.int32(0x7F800000)
 
     # --- streamed-table refs (HBM-resident tables, breaking the VMEM scene
@@ -188,6 +191,34 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         ray_ref[RAY_TIME] = expand(time_ref[0])
     if has_mask:
         ray_ref[RAY_MASK] = _f32(expand(mask_ref[0]))
+    if has_curves:
+        # curve-intersector ray space (ops/curve.py _ray_frame;
+        # curve_intersector_precalculations.h depth_scale + frame rows)
+        d2f = dx0 * dx0 + dy0 * dy0 + dz0 * dz0
+        dsf = 1.0 / jnp.sqrt(jnp.maximum(d2f, 1e-36))
+        nx, ny, nz = dx0 * dsf, dy0 * dsf, dz0 * dsf
+        pickf = (nz * nz + ny * ny) > (nz * nz + nx * nx)
+        fx0 = jnp.where(pickf, 0.0, -nz)
+        fx1 = jnp.where(pickf, nz, 0.0)
+        fx2 = jnp.where(pickf, -ny, nx)
+        fl = 1.0 / jnp.sqrt(jnp.maximum(fx0 * fx0 + fx1 * fx1 + fx2 * fx2,
+                                        1e-36))
+        fx0, fx1, fx2 = fx0 * fl, fx1 * fl, fx2 * fl
+        fy0 = ny * fx2 - nz * fx1
+        fy1 = nz * fx0 - nx * fx2
+        fy2 = nx * fx1 - ny * fx0
+        fyl = 1.0 / jnp.sqrt(jnp.maximum(fy0 * fy0 + fy1 * fy1 + fy2 * fy2,
+                                         1e-36))
+        ray_ref[RAY_FRAME + 0] = fx0
+        ray_ref[RAY_FRAME + 1] = fx1
+        ray_ref[RAY_FRAME + 2] = fx2
+        ray_ref[RAY_FRAME + 3] = fy0 * fyl
+        ray_ref[RAY_FRAME + 4] = fy1 * fyl
+        ray_ref[RAY_FRAME + 5] = fy2 * fyl
+        ray_ref[RAY_FRAME + 6] = nx * dsf
+        ray_ref[RAY_FRAME + 7] = ny * dsf
+        ray_ref[RAY_FRAME + 8] = nz * dsf
+        ray_ref[RAY_FRAME + 9] = dsf
 
     def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8,
               stage_ref=None, tag_ref=None, sem=None, cnt=None, NSL=0):
@@ -651,6 +682,323 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                    & ((vx_ != 0.0) | (vy_ != 0.0) | (vz_ != 0.0)))
             class_results.append((6, fok, tl))
 
+        if has_curves:
+            # shared curve state: ray-space frame + the 16 CP planes
+            fvx = [ray_ref[RAY_FRAME + i] for i in range(3)]
+            fvy = [ray_ref[RAY_FRAME + 3 + i] for i in range(3)]
+            fvz = [ray_ref[RAY_FRAME + 6 + i] for i in range(3)]
+            fds = ray_ref[RAY_FRAME + 9]
+            cpx = [lf(4 * j + 0) for j in range(4)]
+            cpy = [lf(4 * j + 1) for j in range(4)]
+            cpz = [lf(4 * j + 2) for j in range(4)]
+            cpr = [lf(4 * j + 3) for j in range(4)]
+
+            def bezw(t):   # python-float Bernstein weights
+                sm = 1.0 - t
+                return (sm * sm * sm, 3 * sm * sm * t, 3 * sm * t * t,
+                        t * t * t)
+
+            def bez2w(t):  # quadratic basis (derivative combination)
+                sm = 1.0 - t
+                return (sm * sm, 2 * sm * t, t * t)
+
+        if 8 in kind_classes:   # KIND_CURVE_FLAT: ribbon intersector
+            # exact per-plane port of ops/curve.py intersect_ribbon
+            # (curve_intersector_ribbon.h:73-177): CPs into ray space,
+            # CURVE_RATE ruled quads between the +-r offset curves,
+            # backface-culling 2D quad tests, nearest accepted t per slot
+            R = CURVE_RATE
+            c2x, c2y, c2z = [], [], []
+            for j in range(4):
+                rx = cpx[j] - ox
+                ry = cpy[j] - oy
+                rz = cpz[j] - oz
+                c2x.append(rx * fvx[0] + ry * fvx[1] + rz * fvx[2])
+                c2y.append(rx * fvy[0] + ry * fvy[1] + rz * fvy[2])
+                c2z.append(rx * fvz[0] + ry * fvz[1] + rz * fvz[2])
+            amax = jnp.zeros_like(ox)
+            for j in range(4):
+                amax = jnp.maximum(amax, jnp.abs(c2x[j]))
+                amax = jnp.maximum(amax, jnp.abs(c2y[j]))
+                amax = jnp.maximum(amax, jnp.abs(c2z[j]))
+                amax = jnp.maximum(amax, jnp.abs(cpr[j]))
+            epsr = jnp.float32(4.0 * 1.19209290e-07) * amax
+            # knot evals (static weights)
+            pkx, pky, pkz, pkr, dkx, dky, dkz, ksm = \
+                [], [], [], [], [], [], [], []
+            for k in range(R + 1):
+                w = bezw(k / R)
+                pkx.append(w[0] * c2x[0] + w[1] * c2x[1]
+                           + w[2] * c2x[2] + w[3] * c2x[3])
+                pky.append(w[0] * c2y[0] + w[1] * c2y[1]
+                           + w[2] * c2y[2] + w[3] * c2y[3])
+                pkz.append(w[0] * c2z[0] + w[1] * c2z[1]
+                           + w[2] * c2z[2] + w[3] * c2z[3])
+                pkr.append(w[0] * cpr[0] + w[1] * cpr[1]
+                           + w[2] * cpr[2] + w[3] * cpr[3])
+                w2 = bez2w(k / R)
+                dkx.append(3.0 * (w2[0] * (c2x[1] - c2x[0])
+                                  + w2[1] * (c2x[2] - c2x[1])
+                                  + w2[2] * (c2x[3] - c2x[2])))
+                dky.append(3.0 * (w2[0] * (c2y[1] - c2y[0])
+                                  + w2[1] * (c2y[2] - c2y[1])
+                                  + w2[2] * (c2y[3] - c2y[2])))
+                dkz.append(3.0 * (w2[0] * (c2z[1] - c2z[0])
+                                  + w2[1] * (c2z[2] - c2z[1])
+                                  + w2[2] * (c2z[3] - c2z[2])))
+                ksm.append(jnp.maximum(jnp.maximum(jnp.abs(dkx[-1]),
+                                                   jnp.abs(dky[-1])),
+                                       jnp.abs(dkz[-1])) < epsr)
+            BIGF = jnp.float32(jnp.inf)
+            rib_t = jnp.full_like(ox, BIGF)
+            rib_hit = jnp.zeros_like(ox, bool)
+            for i in range(R):
+                sdx = pkx[i + 1] - pkx[i]
+                sdy = pky[i + 1] - pky[i]
+                sdz = pkz[i + 1] - pkz[i]
+                d0x = jnp.where(ksm[i], sdx, dkx[i])
+                d0y = jnp.where(ksm[i], sdy, dky[i])
+                d1x = jnp.where(ksm[i + 1], sdx, dkx[i + 1])
+                d1y = jnp.where(ksm[i + 1], sdy, dky[i + 1])
+                # cylinder culling vs the 2D origin (ribbon.h:66-71)
+                num = sdx * pky[i] - sdy * pkx[i]
+                den2 = sdx * sdx + sdy * sdy
+                rmax = jnp.maximum(pkr[i], pkr[i + 1])
+                vseg = num * num <= rmax * rmax * den2
+                n0l = 1.0 / jnp.sqrt(jnp.maximum(d0y * d0y + d0x * d0x,
+                                                 1e-36))
+                n1l = 1.0 / jnp.sqrt(jnp.maximum(d1y * d1y + d1x * d1x,
+                                                 1e-36))
+                n0x, n0y = d0y * n0l, -d0x * n0l
+                n1x, n1y = d1y * n1l, -d1x * n1l
+                lp0x = pkx[i] + pkr[i] * n0x
+                lp0y = pky[i] + pkr[i] * n0y
+                up0x = pkx[i] - pkr[i] * n0x
+                up0y = pky[i] - pkr[i] * n0y
+                lp1x = pkx[i + 1] + pkr[i + 1] * n1x
+                lp1y = pky[i + 1] + pkr[i + 1] * n1y
+                up1x = pkx[i + 1] - pkr[i + 1] * n1x
+                up1y = pky[i + 1] - pkr[i + 1] * n1y
+                # quad (lp0, lp1, up1, up0), backface-culled 2D variant
+                # (quad_intersector.h:15-74); z rides along for t
+                vax, vay, vaz = lp0x, lp0y, pkz[i]
+                vbx, vby, vbz = lp1x, lp1y, pkz[i + 1]
+                vcx, vcy, vcz = up1x, up1y, pkz[i + 1]
+                vdx, vdy, vdz = up0x, up0y, pkz[i]
+                edbx = vbx - vdx
+                edby = vby - vdy
+                WW = vdx * edby - vdy * edbx
+                selq = WW <= 0.0
+                v0x = jnp.where(selq, vax, vcx)
+                v0y = jnp.where(selq, vay, vcy)
+                v0z = jnp.where(selq, vaz, vcz)
+                v1x = jnp.where(selq, vbx, vdx)
+                v1y = jnp.where(selq, vby, vdy)
+                v1z = jnp.where(selq, vbz, vdz)
+                v2x = jnp.where(selq, vdx, vbx)
+                v2y = jnp.where(selq, vdy, vby)
+                v2z = jnp.where(selq, vdz, vbz)
+                e0x, e0y, e0z = v2x - v0x, v2y - v0y, v2z - v0z
+                e1x, e1y, e1z = v0x - v1x, v0y - v1y, v0z - v1z
+                Uq = v0x * e0y - v0y * e0x
+                Vq = v1x * e1y - v1y * e1x
+                vseg = vseg & (jnp.maximum(Uq, Vq) <= 0.0)
+                ngx_ = e1y * e0z - e1z * e0y
+                ngy_ = e1z * e0x - e1x * e0z
+                ngz_ = e1x * e0y - e1y * e0x
+                denq = ngz_
+                rden = jnp.where(denq != 0.0,
+                                 1.0 / jnp.where(denq == 0.0, 1.0, denq), 0.0)
+                tq = rden * (v0x * ngx_ + v0y * ngy_ + v0z * ngz_)
+                vseg = vseg & (tnear8 <= tq) & (tq <= tf8) & (denq != 0.0)
+                uq = Uq * rden
+                uq = jnp.where(selq, uq, 1.0 - uq)
+                r_at = pkr[i] * (1.0 - uq) + pkr[i + 1] * uq
+                # self-intersection avoidance (ribbon.h:117-120)
+                vseg = vseg & (tq > 2.0 * r_at * fds)
+                take = vseg & (tq < rib_t)
+                rib_t = jnp.where(take, tq, rib_t)
+                rib_hit = rib_hit | vseg
+            class_results.append((8, rib_hit, rib_t))
+
+        if 9 in kind_classes:   # KIND_CURVE_ROUND: swept circle
+            # TPU-first two-phase: CURVE_RATE cone-segment candidates (the
+            # tangent cone-sphere test of the round-line kind) seed a short
+            # Jacobian-Newton polish of the exact sweep equations
+            # (curve_intersector_sweep.h:59-141; ops/curve.py
+            # intersect_sweep). Converged roots replace the candidate t;
+            # diverged candidates keep the tessellated t (conservative).
+            R = max(CURVE_RATE, 8)
+            ddot_c = dx * dx + dy * dy + dz * dz
+            rcpdd_c = 1.0 / jnp.maximum(ddot_c, 1e-30)
+            qkx, qky, qkz, qkr = [], [], [], []
+            for k in range(R + 1):
+                w = bezw(k / R)
+                qkx.append(w[0] * cpx[0] + w[1] * cpx[1]
+                           + w[2] * cpx[2] + w[3] * cpx[3])
+                qky.append(w[0] * cpy[0] + w[1] * cpy[1]
+                           + w[2] * cpy[2] + w[3] * cpy[3])
+                qkz.append(w[0] * cpz[0] + w[1] * cpz[1]
+                           + w[2] * cpz[2] + w[3] * cpz[3])
+                qkr.append(w[0] * cpr[0] + w[1] * cpr[1]
+                           + w[2] * cpr[2] + w[3] * cpr[3])
+            BIGR = jnp.float32(3e38)
+            cand_t = jnp.full_like(ox, jnp.inf)
+            cand_u = jnp.zeros_like(ox)
+            cand_hit = jnp.zeros_like(ox, bool)
+            for i in range(R):
+                p0x_, p0y_, p0z_, r0_ = qkx[i], qky[i], qkz[i], qkr[i]
+                p1x_, p1y_, p1z_, r1_ = (qkx[i + 1], qky[i + 1],
+                                         qkz[i + 1], qkr[i + 1])
+                ccx = 0.5 * (p0x_ + p1x_)
+                ccy = 0.5 * (p0y_ + p1y_)
+                ccz = 0.5 * (p0z_ + p1z_)
+                dtl = ((ccx - ox) * dx + (ccy - oy) * dy
+                       + (ccz - oz) * dz) * rcpdd_c
+                o2x = ox + dtl * dx
+                o2y = oy + dtl * dy
+                o2z = oz + dtl * dz
+                dPx = p1x_ - p0x_
+                dPy = p1y_ - p0y_
+                dPz = p1z_ - p0z_
+                dPdP = dPx * dPx + dPy * dPy + dPz * dPz
+                drr = r1_ - r0_
+                r0dr = r0_ * drr
+                gco = dPdP - drr * drr
+                Oxx = o2x - p0x_
+                Oyy = o2y - p0y_
+                Ozz = o2z - p0z_
+                OdP = Oxx * dPx + Oyy * dPy + Ozz * dPz
+                dOdP = dx * dPx + dy * dPy + dz * dPz
+                ypc = OdP + r0dr
+                OO = Oxx * Oxx + Oyy * Oyy + Ozz * Ozz
+                OdO = dx * Oxx + dy * Oyy + dz * Ozz
+                Ac = gco * ddot_c - dOdP * dOdP
+                Bc = 2.0 * (gco * OdO - dOdP * ypc)
+                Cc = (gco * OO - OdP * OdP - r0_ * r0_ * dPdP
+                      - 2.0 * r0dr * OdP)
+                Dc = Bc * Bc - 4.0 * Ac * Cc
+                cone_ok = (Dc >= 0.0) & (gco > 0.0) & (jnp.abs(Ac) > 1e-18)
+                Qc = jnp.sqrt(jnp.maximum(Dc, 0.0))
+                rc2A = 1.0 / jnp.where(cone_ok, 2.0 * Ac, 1.0)
+                tcf = (-Bc - Qc) * rc2A
+                tcb = (-Bc + Qc) * rc2A
+                ycf = ypc + tcf * dOdP
+                ycb = ypc + tcb * dOdP
+                cf_ok = cone_ok & (ycf > 0.0) & (ycf <= gco)
+                cb_ok = cone_ok & (ycb > 0.0) & (ycb <= gco)
+                tlo = jnp.where(cf_ok, tcf, BIGR)
+                tup = jnp.where(cb_ok, tcb, -BIGR)
+                lo_ok = ((tnear8 <= dtl + tlo) & (dtl + tlo <= tf8)
+                         & (tlo < BIGR))
+                up_ok = ((tnear8 <= dtl + tup) & (dtl + tup <= tf8)
+                         & (tup > -BIGR))
+                t_i = dtl + jnp.where(lo_ok, tlo, tup)
+                y_i = jnp.where(lo_ok, ycf, ycb)
+                hit_i = lo_ok | up_ok
+                u_i = (i + jnp.clip(y_i
+                                    / jnp.maximum(gco, 1e-30), 0.0, 1.0)) / R
+                take = hit_i & (t_i < cand_t)
+                cand_t = jnp.where(take, t_i, cand_t)
+                cand_u = jnp.where(take, u_i, cand_u)
+                cand_hit = cand_hit | hit_i
+            # --- Newton polish (3 iters) of (u, t) from the candidate ---
+            cenx = 0.25 * (cpx[0] + cpx[1] + cpx[2] + cpx[3])
+            ceny = 0.25 * (cpy[0] + cpy[1] + cpy[2] + cpy[3])
+            cenz = 0.25 * (cpz[0] + cpz[1] + cpz[2] + cpz[3])
+            dtc = ((cenx - ox) * dx + (ceny - oy) * dy
+                   + (cenz - oz) * dz) * rcpdd_c
+            relx = [cpx[j] - (ox + dtc * dx) for j in range(4)]
+            rely = [cpy[j] - (oy + dtc * dy) for j in range(4)]
+            relz = [cpz[j] - (oz + dtc * dz) for j in range(4)]
+            bmax = jnp.zeros_like(ox)
+            for j in range(4):
+                bmax = jnp.maximum(bmax, jnp.abs(relx[j]))
+                bmax = jnp.maximum(bmax, jnp.abs(rely[j]))
+                bmax = jnp.maximum(bmax, jnp.abs(relz[j]))
+                bmax = jnp.maximum(bmax, jnp.abs(cpr[j]))
+            P_err = jnp.float32(16.0 * 1.19209290e-07) * bmax
+            len_dir = jnp.sqrt(jnp.maximum(ddot_c, 1e-36))
+            un = cand_u
+            tn = cand_t - dtc
+            newt_ok = jnp.zeros_like(ox, bool)
+            newt_t = cand_t
+            for _ in range(3):
+                sm = 1.0 - un
+                w0 = sm * sm * sm
+                w1 = 3.0 * sm * sm * un
+                w2 = 3.0 * sm * un * un
+                w3 = un * un * un
+                Px = w0 * relx[0] + w1 * relx[1] + w2 * relx[2] + w3 * relx[3]
+                Py = w0 * rely[0] + w1 * rely[1] + w2 * rely[2] + w3 * rely[3]
+                Pz = w0 * relz[0] + w1 * relz[1] + w2 * relz[2] + w3 * relz[3]
+                Pr = w0 * cpr[0] + w1 * cpr[1] + w2 * cpr[2] + w3 * cpr[3]
+                b0 = sm * sm
+                b1 = 2.0 * sm * un
+                b2 = un * un
+                dPx_ = 3.0 * (b0 * (relx[1] - relx[0])
+                              + b1 * (relx[2] - relx[1])
+                              + b2 * (relx[3] - relx[2]))
+                dPy_ = 3.0 * (b0 * (rely[1] - rely[0])
+                              + b1 * (rely[2] - rely[1])
+                              + b2 * (rely[3] - rely[2]))
+                dPz_ = 3.0 * (b0 * (relz[1] - relz[0])
+                              + b1 * (relz[2] - relz[1])
+                              + b2 * (relz[3] - relz[2]))
+                dPr_ = 3.0 * (b0 * (cpr[1] - cpr[0])
+                              + b1 * (cpr[2] - cpr[1])
+                              + b2 * (cpr[3] - cpr[2]))
+                ddPx = 6.0 * ((1.0 - un) * (relx[2] - 2 * relx[1] + relx[0])
+                              + un * (relx[3] - 2 * relx[2] + relx[1]))
+                ddPy = 6.0 * ((1.0 - un) * (rely[2] - 2 * rely[1] + rely[0])
+                              + un * (rely[3] - 2 * rely[2] + rely[1]))
+                ddPz = 6.0 * ((1.0 - un) * (relz[2] - 2 * relz[1] + relz[0])
+                              + un * (relz[3] - 2 * relz[2] + relz[1]))
+                Rx = tn * dx - Px
+                Ry = tn * dy - Py
+                Rz = tn * dz - Pz
+                len_R = jnp.sqrt(jnp.maximum(
+                    Rx * Rx + Ry * Ry + Rz * Rz, 0.0))
+                Q_err = jnp.float32(16.0 * 1.19209290e-07) * len_dir * tn
+                R_err = jnp.maximum(Q_err, P_err)
+                dP2 = dPx_ * dPx_ + dPy_ * dPy_ + dPz_ * dPz_
+                rl = 1.0 / jnp.sqrt(jnp.maximum(dP2, 1e-36))
+                Tx, Ty, Tz = dPx_ * rl, dPy_ * rl, dPz_ * rl
+                dd = dPx_ * ddPx + dPy_ * ddPy + dPz_ * ddPz
+                rl3 = rl * rl * rl
+                dTx = (ddPx * dP2 - dPx_ * dd) * rl3
+                dTy = (ddPy * dP2 - dPy_ * dd) * rl3
+                dTz = (ddPz * dP2 - dPz_ * dd) * rl3
+                cos_err = P_err * rl
+                fv = Rx * Tx + Ry * Ty + Rz * Tz
+                f_err = len_R * P_err + R_err + cos_err * (1.0 + len_R)
+                dfdu = (-dPx_ * Tx - dPy_ * Ty - dPz_ * Tz
+                        + Rx * dTx + Ry * dTy + Rz * dTz)
+                dfdt = dx * Tx + dy * Ty + dz * Tz
+                K = jnp.maximum(Rx * Rx + Ry * Ry + Rz * Rz - fv * fv, 0.0)
+                dKdu = (-Rx * dPx_ - Ry * dPy_ - Rz * dPz_) - fv * dfdu
+                dKdt = (Rx * dx + Ry * dy + Rz * dz) - fv * dfdt
+                rsK = 1.0 / jnp.sqrt(jnp.maximum(K, 1e-36))
+                gv = jnp.sqrt(K) - Pr
+                g_err = (R_err + f_err
+                         + jnp.float32(16.0 * 1.19209290e-07) * bmax)
+                dgdu = dKdu * rsK - dPr_
+                dgdt = dKdt * rsK
+                det = dfdu * dgdt - dfdt * dgdu
+                rdet = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+                du_ = (dgdt * fv - dfdt * gv) * rdet
+                dt_ = (-dgdu * fv + dfdu * gv) * rdet
+                conv = (jnp.abs(fv) < f_err) & (jnp.abs(gv) < g_err)
+                tw = tn + dtc
+                okn = (conv & (tnear8 <= tw) & (tw <= tf8)
+                       & (un >= 0.0) & (un <= 1.0))
+                newt_t = jnp.where(okn & ~newt_ok, tw, newt_t)
+                newt_ok = newt_ok | okn
+                un = jnp.where(newt_ok, un, un - du_)
+                tn = jnp.where(newt_ok, tn, tn - dt_)
+            t_round = jnp.where(newt_ok, newt_t, cand_t)
+            class_results.append((9, cand_hit, t_round))
+
         if has_kinds:
             ktag = _i32(lbuf_ref[CH_KIND])
             kvalid = jnp.zeros((ROWS, LANE), bool)
@@ -903,10 +1251,13 @@ def _residency(packed: PackedScene):
     GN, GL = packed.n_node_tiles, packed.n_leaf_tiles
     has_mask, has_motion = packed.has_mask, packed.has_motion
     has_kinds, has_win = packed.has_kinds, packed.has_win
-    LCH = (N_FIELDS * (2 if has_motion else 1) + (1 if has_mask else 0)
+    nf = packed.nf
+    has_curves = bool(set(packed.kind_classes) & {8, 9})
+    LCH = (nf * (2 if has_motion else 1) + (1 if has_mask else 0)
            + (1 if has_kinds else 0) + (2 if has_win else 0))
-    NR = 10 + (1 if has_motion else 0) + (1 if has_mask else 0)
-    lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win)
+    NR = (10 + (1 if has_motion else 0) + (1 if has_mask else 0)
+          + (10 if has_curves else 0))
+    lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win, nf)
     node_bytes = GN * 32 * LANE * 4
     leaf_bytes = GL * lrows * LANE * 4
     tile_n = 32 * LANE * 4
@@ -1050,7 +1401,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
                                has_motion=has_motion, has_kinds=has_kinds,
                                kind_classes=kind_classes,
                                want_attrs=emit_attrs, has_win=has_win,
-                               NSL_N=NSL_N, NSL_L=NSL_L)
+                               NSL_N=NSL_N, NSL_L=NSL_L, NF=packed.nf,
+                               CURVE_RATE=packed.curve_rate)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -941,7 +941,10 @@ class _Merger:
                     bvh8, n_wide, rows, kinds_present,
                     bool(self.has_motion), tri, quad,
                     pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line,
-                    windows if has_windows else None)
+                    windows if has_windows else None,
+                    curve_cp=curve_cp.reshape(-1, 4, 4),
+                    curve_cpb=curve_cpb.reshape(-1, 4, 4),
+                    curve_rate=int(self.curve_rate))
 
         # compact mode: the packed table alone serves pure-triangle hits
         # (kernel-emitted u/v/Ng), so the unpacked duplicates are dropped —
@@ -1001,21 +1004,29 @@ class _Merger:
 
 
 _PACKED_KINDS = {KIND_TRIANGLE, KIND_QUAD, KIND_SPHERE, KIND_DISC,
-                 KIND_ORIENTED_DISC, KIND_ROUND_LINE, KIND_FLAT_LINE}
+                 KIND_ORIENTED_DISC, KIND_ROUND_LINE, KIND_FLAT_LINE,
+                 KIND_CURVE_FLAT, KIND_CURVE_ROUND}
+# native curve kinds widen the per-slot record to 16 fields (4 Bezier CPs
+# x xyz+r — the CurveNv role, curveNv.h); all other kinds fit 9
+_CURVE_PACKED = {KIND_CURVE_FLAT, KIND_CURVE_ROUND}
 
 
 def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
                   pnt_c, pnt_r, pnt_n, pnt_cb, pnt_rb, pnt_nb, line,
-                  windows=None):
-    """Encode the merged primitive table into per-slot 9-field records and
-    pack them (accel/pack.py docstring for the layout). Runs on host numpy."""
+                  windows=None, curve_cp=None, curve_cpb=None,
+                  curve_rate=4):
+    """Encode the merged primitive table into per-slot generic-field records
+    and pack them (accel/pack.py docstring for the layout). Runs on host
+    numpy. Records are 9 fields wide, or 16 when native curve kinds are
+    present (4 Bezier control points x xyz+radius per slot)."""
     T = rows.shape[0]
     kind = rows[:, 0]
     data = rows[:, 5].astype(np.int64)
     factor = 2 if KIND_QUAD in kinds_present else 1
+    nf = 16 if (set(kinds_present) & _CURVE_PACKED) else 9
     S = T * factor
-    fa = np.zeros((S, 9), np.float32)
-    fb = np.zeros((S, 9), np.float32)
+    fa = np.zeros((S, nf), np.float32)
+    fb = np.zeros((S, nf), np.float32)
     skind = np.zeros(S, np.int32)
     smask = np.zeros(S, np.uint32)
     spid = np.full(S, -1, np.int32)
@@ -1023,8 +1034,10 @@ def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
 
     def put(sel, off, cols_a, cols_b, tag):
         idx = base[sel] + off
-        fa[idx] = np.concatenate(cols_a, axis=-1)
-        fb[idx] = np.concatenate(cols_b, axis=-1)
+        arr_a = np.concatenate(cols_a, axis=-1)
+        arr_b = np.concatenate(cols_b, axis=-1)
+        fa[idx, :arr_a.shape[1]] = arr_a
+        fb[idx, :arr_b.shape[1]] = arr_b
         skind[idx] = tag
         smask[idx] = rows[sel, 6].astype(np.uint32)
         spid[idx] = np.nonzero(sel)[0]
@@ -1061,6 +1074,10 @@ def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
                          line["p1"][d], line["r1"][d][:, None], flc),
                 (line["p0b"][d], line["r0b"][d][:, None],
                  line["p1b"][d], line["r1b"][d][:, None], flc), k)
+        elif k in (KIND_CURVE_FLAT, KIND_CURVE_ROUND):
+            # 16 fields: Bezier CP j at 4j..4j+3 = (x, y, z, r)
+            put(sel, 0, (curve_cp[d].reshape(-1, 16),),
+                (curve_cpb[d].reshape(-1, 16),), k)
 
     classes = tuple(sorted({int(t) for t in np.unique(skind[spid >= 0])}))
     has_kinds = classes != (KIND_TRIANGLE,)
@@ -1074,7 +1091,8 @@ def _build_packed(bvh8, n_wide, rows, kinds_present, has_motion, tri, quad,
             np.repeat(windows, factor, axis=0)
     return pack(bvh8, n_wide, fa, fb, skind, smask, spid,
                 slot_factor=factor, has_mask=has_mask, has_motion=has_motion,
-                has_kinds=has_kinds, kind_classes=classes, slot_t01=slot_t01)
+                has_kinds=has_kinds, kind_classes=classes, slot_t01=slot_t01,
+                curve_rate=curve_rate)
 
 
 def _native_build_enabled(n_prims: int) -> bool:

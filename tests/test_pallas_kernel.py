@@ -170,3 +170,55 @@ def test_multistep_window_scene_matches_jnp():
     np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hj.t)[m],
                                rtol=1e-4, atol=1e-4)
     assert np.mean(np.asarray(hp.prim_id)[m] == np.asarray(hj.prim_id)[m]) > 0.99
+
+
+def _curve_scene(kind):
+    """A few fat Bezier curves + a backdrop triangle (mixed-kind packing)."""
+    rng = np.random.default_rng(4)
+    n_curves = 6
+    cp = np.zeros((n_curves * 4, 4), np.float32)
+    for c in range(n_curves):
+        base = rng.uniform(-1, 1, 3)
+        d = rng.normal(size=3); d /= np.linalg.norm(d)
+        side = rng.normal(size=3) * 0.3
+        for j in range(4):
+            cp[4 * c + j, :3] = base + d * (0.5 * j) + side * (j % 2)
+            cp[4 * c + j, 3] = 0.15 - 0.02 * j
+    idx = (np.arange(n_curves) * 4).astype(np.int32)
+    s = et.Scene()
+    s.attach(et.CurveGeometry(cp, idx, basis="bezier", kind=kind))
+    s.attach(et.TriangleGeometry(
+        np.array([[-3, -3, -3], [3, -3, -3], [0, 3, -3]], np.float32),
+        np.array([[0, 1, 2]], np.int32)))
+    return s.commit()
+
+
+def test_flat_curve_kernel_matches_jnp():
+    """In-kernel ribbon intersector (16-field curve slots) vs the jnp
+    engine: hit sets and distances agree."""
+    cs = _curve_scene("flat")
+    assert cs.packed is not None and cs.packed.nf == 16
+    rays = random_rays(jax.random.PRNGKey(3), 256)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m_p, m_j = np.asarray(h_p.valid), np.asarray(h_j.valid)
+    assert (m_p == m_j).mean() > 0.99
+    both = m_p & m_j
+    np.testing.assert_allclose(np.asarray(h_p.t)[both],
+                               np.asarray(h_j.t)[both], rtol=1e-3, atol=1e-3)
+
+
+def test_round_curve_kernel_close_to_jnp():
+    """In-kernel swept-circle (cone candidates + Newton polish) vs the jnp
+    sweep solver: hit sets agree except at silhouette-grazing rays."""
+    cs = _curve_scene("round")
+    assert cs.packed is not None and cs.packed.nf == 16
+    rays = random_rays(jax.random.PRNGKey(5), 256)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m_p, m_j = np.asarray(h_p.valid), np.asarray(h_j.valid)
+    assert (m_p == m_j).mean() > 0.97
+    both = m_p & m_j
+    tp_, tj_ = np.asarray(h_p.t)[both], np.asarray(h_j.t)[both]
+    # distances agree to ~1% for the vast majority of rays
+    assert (np.abs(tp_ - tj_) / np.maximum(tj_, 1e-3) < 0.01).mean() > 0.95
