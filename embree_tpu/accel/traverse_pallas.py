@@ -923,7 +923,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             tn = cand_t - dtc
             newt_ok = jnp.zeros_like(ox, bool)
             newt_t = cand_t
-            for _ in range(3):
+            for _ in range(5):
                 sm = 1.0 - un
                 w0 = sm * sm * sm
                 w1 = 3.0 * sm * sm * un
@@ -996,8 +996,10 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 newt_ok = newt_ok | okn
                 un = jnp.where(newt_ok, un, un - du_)
                 tn = jnp.where(newt_ok, tn, tn - dt_)
+            # accept only Newton-CONFIRMED roots (the sweep's convergence
+            # test); unconfirmed cone candidates over-report at silhouettes
             t_round = jnp.where(newt_ok, newt_t, cand_t)
-            class_results.append((9, cand_hit, t_round))
+            class_results.append((9, cand_hit & newt_ok, t_round))
 
         if has_kinds:
             ktag = _i32(lbuf_ref[CH_KIND])
@@ -1223,10 +1225,15 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 UGRP, 8, LANE)[:, 0, :]
 
 
-def _coherence_key(org, dir):
+def _coherence_key(org, dir, tnear=None, tfar=None):
     """Sort key grouping rays by direction octant then origin locality
     (the queue-sorting analog of the reference's coherent/incoherent split,
-    SURVEY.md §2.8 P2/P3). 30-bit: octant(3) | origin-morton(27)."""
+    SURVEY.md §2.8 P2/P3). 31-bit: dead(1) | octant(3) | origin-morton(27).
+
+    The dead bit is the wavefront COMPACTION device: inert rays
+    (tnear > tfar — terminated pathtracer lanes) sort to the tail, packing
+    themselves into all-dead programs that retire after a single step
+    instead of dragging dead lanes through live programs (SURVEY §2.8 P2)."""
     from ..core.math import morton_code
     lo = jnp.min(org, axis=0)
     up = jnp.max(org, axis=0)
@@ -1235,7 +1242,11 @@ def _coherence_key(org, dir):
     octant = ((dir[:, 0] < 0).astype(jnp.int32)
               | ((dir[:, 1] < 0).astype(jnp.int32) << 1)
               | ((dir[:, 2] < 0).astype(jnp.int32) << 2))
-    return (octant << 27) | m27
+    key = (octant << 27) | m27
+    if tnear is not None:
+        dead = (tnear > tfar).astype(jnp.int32)
+        key = key | (dead << 30)
+    return key
 
 
 def _residency(packed: PackedScene):
@@ -1332,7 +1343,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         # multi-operand sort: carrying all ray fields as sort operands beats
         # a 2-operand key/index sort + jnp.take gathers ~1.5x on 1M rays
         # (TPU sorts vectorize across lanes; arbitrary gathers do not)
-        key = _coherence_key(org, dir)
+        key = _coherence_key(org, dir, tnear, tfar)
         idx0 = jnp.arange(R, dtype=jnp.int32)
         (key, ox_, oy_, oz_, dx_, dy_, dz_, tnear, tfar, ray_mask, time,
          ridx) = jax.lax.sort(
@@ -1345,7 +1356,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     B = -(-R // PROG)
     pad = B * PROG - R
     if sort_local:
-        key = _coherence_key(org, dir)
+        key = _coherence_key(org, dir, tnear, tfar)
         idx0 = jnp.arange(R, dtype=jnp.int32)
         padk = jnp.iinfo(jnp.int32).max
 

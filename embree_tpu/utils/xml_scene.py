@@ -138,14 +138,31 @@ def _furball(elem, xfm):
     tri_idx = np.concatenate(tris).astype(np.int32)
     geoms = [TriangleGeometry(_xfm_positions(xfm, data), tri_idx)]
 
-    # --- hairs: manual LCG (glibc-like constants), exact bit sequence ---
-    a_, c_, m_ = np.uint64(1103515245), np.uint64(12345), np.uint64(1 << 31)
-    state = np.uint64(1234)
-    n_draw = 2 + nhairs * 3 + (nhairs if basis == "bspline" else 0)
-    seq = np.empty(max(n_draw, 8), np.float64)
-    for i in range(seq.shape[0]):
-        state = (a_ * state + c_) % m_
-        seq[i] = float(state) / float(m_)
+    # --- hairs: manual LCG (glibc-like constants), exact bit sequence,
+    # vectorized by block jumping: s_{i+j} = a^j s_i + c (a^j-1)/(a-1) mod m
+    # — the per-block coefficients are built sequentially (B+n/B python
+    # steps) and each block expands with one vector op ---
+    a_, c_, m_ = 1103515245, 12345, 1 << 31
+    n_draw = max(2 + nhairs * 3 + (nhairs if basis == "bspline" else 0), 8)
+    B = 1024
+    A = np.empty(B, np.uint64)
+    C = np.empty(B, np.uint64)
+    Aj, Cj = 1, 0
+    for j in range(B):
+        A[j] = Aj
+        C[j] = Cj
+        Aj = (a_ * Aj) % m_
+        Cj = (a_ * Cj + c_) % m_
+    nb = -(-(n_draw + 1) // B)
+    starts = np.empty(nb, np.uint64)
+    sblk = 1234
+    for bi in range(nb):
+        starts[bi] = sblk
+        sblk = (Aj * sblk + Cj) % m_
+    states = (A[None, :] * starts[:, None] + C[None, :]) % np.uint64(m_)
+    # seq[i] is the state AFTER i+1 LCG steps (the loop advanced first)
+    states = states.reshape(-1)[1:n_draw + 1]
+    seq = states.astype(np.float64) / float(m_)
     k = 0
 
     def draw(n):
@@ -160,53 +177,86 @@ def _furball(elem, xfm):
                      np.sin(p0) * np.sin(t0)], np.float32)
     is_hermite = basis == "hermite"
     npts = 2 if is_hermite else 4
+    # --- vectorized hair generation (bit-identical to the reference's
+    # per-hair loop): draws per hair are strided slices of the LCG
+    # sequence; only the perpendicular chain pp_i = norm(cross(d_i,
+    # pp_{i-1})) is inherently sequential and runs as hand-rolled scalar
+    # float math (np.cross per hair was ~40us x millions of calls) ---
+    stride = 4 if basis == "bspline" else 3
+    th_a = 2.0 * np.pi * seq[2:2 + nhairs * stride:stride]
+    ph_a = np.arccos(1 - 2 * seq[3:3 + nhairs * stride:stride])
+    stop_r1 = seq[4:4 + nhairs * stride:stride]
+    d_a = np.stack([np.sin(ph_a) * np.cos(th_a), np.cos(ph_a),
+                    np.sin(ph_a) * np.sin(th_a)], -1).astype(np.float32)
+    k += nhairs * stride
+    pp_a = np.empty((nhairs, 3), np.float32)
+    px, py, pz = float(last[0]), float(last[1]), float(last[2])
+    dl = d_a.tolist()
+    for i in range(nhairs):
+        dx_, dy_, dz_ = dl[i]
+        cx = dy_ * pz - dz_ * py
+        cy = dz_ * px - dx_ * pz
+        cz = dx_ * py - dy_ * px
+        n_ = (cx * cx + cy * cy + cz * cz) ** 0.5
+        if n_ < 1e-20:
+            n_ = 1e-20
+        px, py, pz = cx / n_, cy / n_, cz / n_
+        pp_a[i, 0] = px
+        pp_a[i, 1] = py
+        pp_a[i, 2] = pz
+    d_a64 = d_a.astype(np.float64)
+    pp64 = pp_a.astype(np.float64)
+    start_a = d_a64 * (r * (1.0 - 0.01 * hairlength))
+    mid_a = d_a64 * (r * (1.0 + 0.03 * hairlength))
+    mid2_a = d_a64 * (r * (1.0 + 0.07 * hairlength))
+    stop_a = d_a64 * (r * (1.0 + 0.07 * hairlength)
+                      + r * 0.03 * hairlength * stop_r1[:, None])
+    if basis == "bezier":
+        stop_a = stop_a + pp64 * (r * 0.051 * hairlength)
+    elif basis == "linear":
+        mid_a = mid_a + pp64 * (r * 0.001 * hairlength)
+        mid2_a = mid2_a + pp64 * (r * 0.021 * hairlength)
+        stop_a = stop_a + pp64 * (r * 0.051 * hairlength)
+    elif basis == "bspline":
+        stop_r2 = seq[5:5 + nhairs * stride:stride]
+        mid2_a = mid2_a + pp64 * (r * 0.021 * hairlength)
+        stop_a = d_a64 * (r * (1.0 + 0.07 * hairlength)
+                          + r * 0.13 * hairlength * stop_r2[:, None]) \
+            + pp64 * (r * 0.081 * hairlength)
+
+    def _norm_rows(a):
+        n_ = np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-20)
+        return a / n_
+
     pos = np.zeros((nhairs * npts, 4), np.float32)
     nrm = np.zeros((nhairs * npts, 3), np.float32)
     tans = np.zeros((nhairs * npts, 4), np.float32)
-    for i in range(nhairs):
-        th = 2.0 * np.pi * draw(1)[0]
-        ph = np.arccos(1 - 2 * draw(1)[0])
-        d = np.array([np.sin(ph) * np.cos(th), np.cos(ph),
-                      np.sin(ph) * np.sin(th)], np.float32)
-        pp = np.cross(d, last)
-        pp = pp / max(np.linalg.norm(pp), 1e-20)
-        last = pp
-        start = d * r * (1.0 - 0.01 * hairlength)
-        mid = d * r * (1.0 + 0.03 * hairlength)
-        mid2 = d * r * (1.0 + 0.07 * hairlength)
-        stop = d * r * (1.0 + 0.07 * hairlength
-                        + 0.03 * hairlength * draw(1)[0])
-        if basis == "bezier":
-            stop = stop + pp * r * 0.051 * hairlength
-        elif basis == "linear":
-            mid = mid + pp * r * 0.001 * hairlength
-            mid2 = mid2 + pp * r * 0.021 * hairlength
-            stop = stop + pp * r * 0.051 * hairlength
-        elif basis == "bspline":
-            mid2 = mid2 + pp * r * 0.021 * hairlength
-            stop = d * r * (1.0 + 0.07 * hairlength
-                            + 0.13 * hairlength * draw(1)[0])
-            stop = stop + pp * r * 0.081 * hairlength
-        if is_hermite:
-            pos[i * 2] = (*start, hairwidth)
-            pos[i * 2 + 1] = (*stop, 0.0)
-            td = d / np.linalg.norm(d)
-            tm = pp / max(np.linalg.norm(pp), 1e-20)
-            tans[i * 2] = (*td, 0.2)
-            tans[i * 2 + 1] = (*tm, 0.8)
-            n0 = np.cross(d, pp)
-            nrm[i * 2] = nrm[i * 2 + 1] = n0 / max(np.linalg.norm(n0), 1e-20)
-        else:
-            pos[i * 4 + 0] = (*start, hairwidth)
-            pos[i * 4 + 1] = (*mid, hairwidth)
-            pos[i * 4 + 2] = (mid[0], mid2[1], mid2[2], hairwidth * 0.5)
-            pos[i * 4 + 3] = (*stop, 0.0)
-            if kind == "oriented":
-                for j, (va, vb) in enumerate(((d, pp), (start - mid, pp),
-                                              (mid - mid2, pp),
-                                              (mid2 - stop, pp))):
-                    n0 = np.cross(va, vb)
-                    nrm[i * 4 + j] = n0 / max(np.linalg.norm(n0), 1e-20)
+    if is_hermite:
+        pos[0::2, :3] = start_a
+        pos[0::2, 3] = hairwidth
+        pos[1::2, :3] = stop_a
+        tans[0::2, :3] = _norm_rows(d_a64)
+        tans[0::2, 3] = 0.2
+        tans[1::2, :3] = _norm_rows(pp64)
+        tans[1::2, 3] = 0.8
+        n0 = _norm_rows(np.cross(d_a64, pp64))
+        nrm[0::2] = n0
+        nrm[1::2] = n0
+    else:
+        pos[0::4, :3] = start_a
+        pos[0::4, 3] = hairwidth
+        pos[1::4, :3] = mid_a
+        pos[1::4, 3] = hairwidth
+        pos[2::4, 0] = mid_a[:, 0]
+        pos[2::4, 1] = mid2_a[:, 1]
+        pos[2::4, 2] = mid2_a[:, 2]
+        pos[2::4, 3] = hairwidth * 0.5
+        pos[3::4, :3] = stop_a
+        if kind == "oriented":
+            nrm[0::4] = _norm_rows(np.cross(d_a64, pp64))
+            nrm[1::4] = _norm_rows(np.cross(start_a - mid_a, pp64))
+            nrm[2::4] = _norm_rows(np.cross(mid_a - mid2_a, pp64))
+            nrm[3::4] = _norm_rows(np.cross(mid2_a - stop_a, pp64))
     if basis in ("bspline", "catmull_rom"):
         # tip-width tweak (xml_loader.cpp:1526)
         pos[1::4, 3] = 0.5 * hairwidth

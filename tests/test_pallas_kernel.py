@@ -210,8 +210,17 @@ def test_flat_curve_kernel_matches_jnp():
 
 def test_round_curve_kernel_close_to_jnp():
     """In-kernel swept-circle (cone candidates + Newton polish) vs the jnp
-    sweep solver: hit sets agree except at silhouette-grazing rays."""
-    cs = _curve_scene("round")
+    sweep solver: hit sets agree except at silhouette-grazing rays.
+
+    The round kernel path is gated off by default (EMBREE_TPU_KERNEL_ROUND;
+    ~2% silhouette selection divergence vs the 32-seed sweep) — enabled here
+    via the module-level kind set to keep the kernel code covered."""
+    from embree_tpu.geometry import KIND_CURVE_ROUND
+    scene_mod._PACKED_KINDS.add(KIND_CURVE_ROUND)
+    try:
+        cs = _curve_scene("round")
+    finally:
+        scene_mod._PACKED_KINDS.discard(KIND_CURVE_ROUND)
     assert cs.packed is not None and cs.packed.nf == 16
     rays = random_rays(jax.random.PRNGKey(5), 256)
     h_p = et.intersect(cs, rays, backend="pallas")

@@ -122,7 +122,10 @@ def test_high_quality_spatial_splits_lower_sah():
     s_med = et.Scene(quality=et.BuildQuality.MEDIUM)
     s_med.attach(et.TriangleGeometry(verts, idx))
     cs_med = s_med.commit()
-    s_high = et.Scene(quality=et.BuildQuality.HIGH)
+    # budget 1.5 (the reference DEFAULT is 1.2, state.h:117; the knob is
+    # covered by test_api_surface) — this test checks splitting HELPS
+    s_high = et.Scene(quality=et.BuildQuality.HIGH,
+                      max_spatial_split_replications=1.5)
     s_high.attach(et.TriangleGeometry(verts, idx))
     cs_high = s_high.commit()
 
