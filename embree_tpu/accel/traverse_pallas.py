@@ -845,6 +845,8 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             BIGR = jnp.float32(3e38)
             cand_t = jnp.full_like(ox, jnp.inf)
             cand_u = jnp.zeros_like(ox)
+            cand_t2 = jnp.full_like(ox, jnp.inf)
+            cand_u2 = jnp.zeros_like(ox)
             cand_hit = jnp.zeros_like(ox, bool)
             for i in range(R):
                 p0x_, p0y_, p0z_, r0_ = qkx[i], qky[i], qkz[i], qkr[i]
@@ -899,6 +901,13 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 u_i = (i + jnp.clip(y_i
                                     / jnp.maximum(gco, 1e-30), 0.0, 1.0)) / R
                 take = hit_i & (t_i < cand_t)
+                # displaced best becomes the runner-up seed; non-best hits
+                # compete for the runner-up slot directly
+                take2 = hit_i & ~take & (t_i < cand_t2)
+                cand_t2 = jnp.where(take, cand_t,
+                                    jnp.where(take2, t_i, cand_t2))
+                cand_u2 = jnp.where(take, cand_u,
+                                    jnp.where(take2, u_i, cand_u2))
                 cand_t = jnp.where(take, t_i, cand_t)
                 cand_u = jnp.where(take, u_i, cand_u)
                 cand_hit = cand_hit | hit_i
@@ -919,85 +928,95 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 bmax = jnp.maximum(bmax, jnp.abs(cpr[j]))
             P_err = jnp.float32(16.0 * 1.19209290e-07) * bmax
             len_dir = jnp.sqrt(jnp.maximum(ddot_c, 1e-36))
-            un = cand_u
-            tn = cand_t - dtc
-            newt_ok = jnp.zeros_like(ox, bool)
-            newt_t = cand_t
-            for _ in range(5):
-                sm = 1.0 - un
-                w0 = sm * sm * sm
-                w1 = 3.0 * sm * sm * un
-                w2 = 3.0 * sm * un * un
-                w3 = un * un * un
-                Px = w0 * relx[0] + w1 * relx[1] + w2 * relx[2] + w3 * relx[3]
-                Py = w0 * rely[0] + w1 * rely[1] + w2 * rely[2] + w3 * rely[3]
-                Pz = w0 * relz[0] + w1 * relz[1] + w2 * relz[2] + w3 * relz[3]
-                Pr = w0 * cpr[0] + w1 * cpr[1] + w2 * cpr[2] + w3 * cpr[3]
-                b0 = sm * sm
-                b1 = 2.0 * sm * un
-                b2 = un * un
-                dPx_ = 3.0 * (b0 * (relx[1] - relx[0])
-                              + b1 * (relx[2] - relx[1])
-                              + b2 * (relx[3] - relx[2]))
-                dPy_ = 3.0 * (b0 * (rely[1] - rely[0])
-                              + b1 * (rely[2] - rely[1])
-                              + b2 * (rely[3] - rely[2]))
-                dPz_ = 3.0 * (b0 * (relz[1] - relz[0])
-                              + b1 * (relz[2] - relz[1])
-                              + b2 * (relz[3] - relz[2]))
-                dPr_ = 3.0 * (b0 * (cpr[1] - cpr[0])
-                              + b1 * (cpr[2] - cpr[1])
-                              + b2 * (cpr[3] - cpr[2]))
-                ddPx = 6.0 * ((1.0 - un) * (relx[2] - 2 * relx[1] + relx[0])
-                              + un * (relx[3] - 2 * relx[2] + relx[1]))
-                ddPy = 6.0 * ((1.0 - un) * (rely[2] - 2 * rely[1] + rely[0])
-                              + un * (rely[3] - 2 * rely[2] + rely[1]))
-                ddPz = 6.0 * ((1.0 - un) * (relz[2] - 2 * relz[1] + relz[0])
-                              + un * (relz[3] - 2 * relz[2] + relz[1]))
-                Rx = tn * dx - Px
-                Ry = tn * dy - Py
-                Rz = tn * dz - Pz
-                len_R = jnp.sqrt(jnp.maximum(
-                    Rx * Rx + Ry * Ry + Rz * Rz, 0.0))
-                Q_err = jnp.float32(16.0 * 1.19209290e-07) * len_dir * tn
-                R_err = jnp.maximum(Q_err, P_err)
-                dP2 = dPx_ * dPx_ + dPy_ * dPy_ + dPz_ * dPz_
-                rl = 1.0 / jnp.sqrt(jnp.maximum(dP2, 1e-36))
-                Tx, Ty, Tz = dPx_ * rl, dPy_ * rl, dPz_ * rl
-                dd = dPx_ * ddPx + dPy_ * ddPy + dPz_ * ddPz
-                rl3 = rl * rl * rl
-                dTx = (ddPx * dP2 - dPx_ * dd) * rl3
-                dTy = (ddPy * dP2 - dPy_ * dd) * rl3
-                dTz = (ddPz * dP2 - dPz_ * dd) * rl3
-                cos_err = P_err * rl
-                fv = Rx * Tx + Ry * Ty + Rz * Tz
-                f_err = len_R * P_err + R_err + cos_err * (1.0 + len_R)
-                dfdu = (-dPx_ * Tx - dPy_ * Ty - dPz_ * Tz
-                        + Rx * dTx + Ry * dTy + Rz * dTz)
-                dfdt = dx * Tx + dy * Ty + dz * Tz
-                K = jnp.maximum(Rx * Rx + Ry * Ry + Rz * Rz - fv * fv, 0.0)
-                dKdu = (-Rx * dPx_ - Ry * dPy_ - Rz * dPz_) - fv * dfdu
-                dKdt = (Rx * dx + Ry * dy + Rz * dz) - fv * dfdt
-                rsK = 1.0 / jnp.sqrt(jnp.maximum(K, 1e-36))
-                gv = jnp.sqrt(K) - Pr
-                g_err = (R_err + f_err
-                         + jnp.float32(16.0 * 1.19209290e-07) * bmax)
-                dgdu = dKdu * rsK - dPr_
-                dgdt = dKdt * rsK
-                det = dfdu * dgdt - dfdt * dgdu
-                rdet = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
-                du_ = (dgdt * fv - dfdt * gv) * rdet
-                dt_ = (-dgdu * fv + dfdu * gv) * rdet
-                conv = (jnp.abs(fv) < f_err) & (jnp.abs(gv) < g_err)
-                tw = tn + dtc
-                okn = (conv & (tnear8 <= tw) & (tw <= tf8)
-                       & (un >= 0.0) & (un <= 1.0))
-                newt_t = jnp.where(okn & ~newt_ok, tw, newt_t)
-                newt_ok = newt_ok | okn
-                un = jnp.where(newt_ok, un, un - du_)
-                tn = jnp.where(newt_ok, tn, tn - dt_)
+            def _newton_polish(u0, t0w):
+                un = u0
+                tn = t0w - dtc
+                newt_ok = jnp.zeros_like(ox, bool)
+                newt_t = t0w
+                for _ in range(5):
+                    sm = 1.0 - un
+                    w0 = sm * sm * sm
+                    w1 = 3.0 * sm * sm * un
+                    w2 = 3.0 * sm * un * un
+                    w3 = un * un * un
+                    Px = w0 * relx[0] + w1 * relx[1] + w2 * relx[2] + w3 * relx[3]
+                    Py = w0 * rely[0] + w1 * rely[1] + w2 * rely[2] + w3 * rely[3]
+                    Pz = w0 * relz[0] + w1 * relz[1] + w2 * relz[2] + w3 * relz[3]
+                    Pr = w0 * cpr[0] + w1 * cpr[1] + w2 * cpr[2] + w3 * cpr[3]
+                    b0 = sm * sm
+                    b1 = 2.0 * sm * un
+                    b2 = un * un
+                    dPx_ = 3.0 * (b0 * (relx[1] - relx[0])
+                                  + b1 * (relx[2] - relx[1])
+                                  + b2 * (relx[3] - relx[2]))
+                    dPy_ = 3.0 * (b0 * (rely[1] - rely[0])
+                                  + b1 * (rely[2] - rely[1])
+                                  + b2 * (rely[3] - rely[2]))
+                    dPz_ = 3.0 * (b0 * (relz[1] - relz[0])
+                                  + b1 * (relz[2] - relz[1])
+                                  + b2 * (relz[3] - relz[2]))
+                    dPr_ = 3.0 * (b0 * (cpr[1] - cpr[0])
+                                  + b1 * (cpr[2] - cpr[1])
+                                  + b2 * (cpr[3] - cpr[2]))
+                    ddPx = 6.0 * ((1.0 - un) * (relx[2] - 2 * relx[1] + relx[0])
+                                  + un * (relx[3] - 2 * relx[2] + relx[1]))
+                    ddPy = 6.0 * ((1.0 - un) * (rely[2] - 2 * rely[1] + rely[0])
+                                  + un * (rely[3] - 2 * rely[2] + rely[1]))
+                    ddPz = 6.0 * ((1.0 - un) * (relz[2] - 2 * relz[1] + relz[0])
+                                  + un * (relz[3] - 2 * relz[2] + relz[1]))
+                    Rx = tn * dx - Px
+                    Ry = tn * dy - Py
+                    Rz = tn * dz - Pz
+                    len_R = jnp.sqrt(jnp.maximum(
+                        Rx * Rx + Ry * Ry + Rz * Rz, 0.0))
+                    Q_err = jnp.float32(16.0 * 1.19209290e-07) * len_dir * tn
+                    R_err = jnp.maximum(Q_err, P_err)
+                    dP2 = dPx_ * dPx_ + dPy_ * dPy_ + dPz_ * dPz_
+                    rl = 1.0 / jnp.sqrt(jnp.maximum(dP2, 1e-36))
+                    Tx, Ty, Tz = dPx_ * rl, dPy_ * rl, dPz_ * rl
+                    dd = dPx_ * ddPx + dPy_ * ddPy + dPz_ * ddPz
+                    rl3 = rl * rl * rl
+                    dTx = (ddPx * dP2 - dPx_ * dd) * rl3
+                    dTy = (ddPy * dP2 - dPy_ * dd) * rl3
+                    dTz = (ddPz * dP2 - dPz_ * dd) * rl3
+                    cos_err = P_err * rl
+                    fv = Rx * Tx + Ry * Ty + Rz * Tz
+                    f_err = len_R * P_err + R_err + cos_err * (1.0 + len_R)
+                    dfdu = (-dPx_ * Tx - dPy_ * Ty - dPz_ * Tz
+                            + Rx * dTx + Ry * dTy + Rz * dTz)
+                    dfdt = dx * Tx + dy * Ty + dz * Tz
+                    K = jnp.maximum(Rx * Rx + Ry * Ry + Rz * Rz - fv * fv, 0.0)
+                    dKdu = (-Rx * dPx_ - Ry * dPy_ - Rz * dPz_) - fv * dfdu
+                    dKdt = (Rx * dx + Ry * dy + Rz * dz) - fv * dfdt
+                    rsK = 1.0 / jnp.sqrt(jnp.maximum(K, 1e-36))
+                    gv = jnp.sqrt(K) - Pr
+                    g_err = (R_err + f_err
+                             + jnp.float32(16.0 * 1.19209290e-07) * bmax)
+                    dgdu = dKdu * rsK - dPr_
+                    dgdt = dKdt * rsK
+                    det = dfdu * dgdt - dfdt * dgdu
+                    rdet = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+                    du_ = (dgdt * fv - dfdt * gv) * rdet
+                    dt_ = (-dgdu * fv + dfdu * gv) * rdet
+                    conv = (jnp.abs(fv) < f_err) & (jnp.abs(gv) < g_err)
+                    tw = tn + dtc
+                    okn = (conv & (tnear8 <= tw) & (tw <= tf8)
+                           & (un >= 0.0) & (un <= 1.0))
+                    newt_t = jnp.where(okn & ~newt_ok, tw, newt_t)
+                    newt_ok = newt_ok | okn
+                    un = jnp.where(newt_ok, un, un - du_)
+                    tn = jnp.where(newt_ok, tn, tn - dt_)
+                return newt_ok, newt_t
+
+            ok1, t1p = _newton_polish(cand_u, cand_t)
+            ok2, t2p = _newton_polish(cand_u2, cand_t2)
+            newt_ok = ok1 | ok2
+            newt_t = jnp.minimum(jnp.where(ok1, t1p, jnp.inf),
+                                 jnp.where(ok2, t2p, jnp.inf))
             # accept only Newton-CONFIRMED roots (the sweep's convergence
-            # test); unconfirmed cone candidates over-report at silhouettes
+            # test; both top-2 cone-segment candidates are polished so the
+            # nearest TRUE root wins even when it sits in the runner-up
+            # segment); unconfirmed candidates are rejected
             t_round = jnp.where(newt_ok, newt_t, cand_t)
             class_results.append((9, cand_hit & newt_ok, t_round))
 
