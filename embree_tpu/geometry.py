@@ -361,6 +361,14 @@ class SubdivisionGeometry:
     creases: Optional[dict] = None
     vertex_creases: Optional[dict] = None  # {vertex: weight}, inf = corner
     boundary_interpolation: bool = True
+    # RTC_BUFFER_TYPE_HOLE: base faces removed from rendering (they still
+    # shape their neighbors' subdivision, scene_subdiv_mesh.h holes)
+    holes: Optional[object] = None         # (H,) int base-face indices
+    # vertex-attribute texcoords with their own topology
+    # (RTC_BUFFER_TYPE_VERTEX_ATTRIBUTE slot + texcoord_indices)
+    texcoords: Optional[object] = None     # (Nt, 2)
+    texcoord_indices: Optional[object] = None  # flat, parallel to indices
+    texcoord_mode: Optional[str] = None    # attribute RTC_SUBDIVISION_MODE
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None

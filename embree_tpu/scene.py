@@ -95,11 +95,15 @@ class CommittedScene:
     line_p1: jnp.ndarray; line_r1: jnp.ndarray
     line_u0: jnp.ndarray; line_u1: jnp.ndarray
     line_fl: jnp.ndarray   # flags: bit0 = has-left-neighbor (no begin cap)
-    # neighbor far endpoints for interior-hit suppression (rL/rR<0 = absent)
+    # neighbor far endpoints for interior-hit suppression (rL/rR<0 = absent);
+    # *b = motion step B (cones must follow the lerped joints, else moving
+    # round lines wrongly reject interior hits at t>0)
     line_pL: jnp.ndarray; line_rL: jnp.ndarray
     line_pR: jnp.ndarray; line_rR: jnp.ndarray
     line_p0b: jnp.ndarray; line_r0b: jnp.ndarray
     line_p1b: jnp.ndarray; line_r1b: jnp.ndarray
+    line_pLb: jnp.ndarray; line_rLb: jnp.ndarray
+    line_pRb: jnp.ndarray; line_rRb: jnp.ndarray
     # native cubic curves: Bezier control points xyz+r, (Tc, 4, 4);
     # normal splines (Tc, 4, 3) for oriented curves
     curve_cp: jnp.ndarray; curve_cpb: jnp.ndarray
@@ -306,7 +310,8 @@ class _Merger:
         self.pnt = {k: [] for k in ("c", "r", "n", "cb", "rb", "nb")}
         self.line = {k: [] for k in ("p0", "r0", "p1", "r1", "u0", "u1",
                                      "fl", "pL", "rL", "pR", "rR",
-                                     "p0b", "r0b", "p1b", "r1b")}
+                                     "p0b", "r0b", "p1b", "r1b",
+                                     "pLb", "rLb", "pRb", "rRb")}
         self.curve = {k: [] for k in ("cp", "cpb", "n", "nb")}
         self.user = {k: [] for k in ("lo", "up")}
         self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0,
@@ -534,7 +539,11 @@ class _Merger:
                     ("p0b", self._xf_points(xfb, vb_[idx, :3])),
                     ("r0b", vb_[idx, 3] * s),
                     ("p1b", self._xf_points(xfb, vb_[idx + 1, :3])),
-                    ("r1b", vb_[idx + 1, 3] * s)):
+                    ("r1b", vb_[idx + 1, 3] * s),
+                    ("pLb", self._xf_points(xfb, vb_[iL, :3])),
+                    ("rLb", np.where(has_left, vb_[iL, 3] * s, -1.0)),
+                    ("pRb", self._xf_points(xfb, vb_[iR, :3])),
+                    ("rRb", np.where(has_right, vb_[iR, 3] * s, -1.0))):
                 self.line[key].append(np.asarray(arr, np.float32))
 
         elif isinstance(g, CurveGeometry):
@@ -622,6 +631,10 @@ class _Merger:
             rLc = np.where(hasLc, np.roll(r0, 1) * s, -1.0)
             pRc = np.roll(p1, -1, axis=0)
             rRc = np.where(hasRc, np.roll(r1, -1) * s, -1.0)
+            pLcb = np.roll(p0b, 1, axis=0)
+            rLcb = np.where(hasLc, np.roll(r0b, 1) * s, -1.0)
+            pRcb = np.roll(p1b, -1, axis=0)
+            rRcb = np.where(hasRc, np.roll(r1b, -1) * s, -1.0)
             for (key, arr) in (
                     ("p0", self._xf_points(xf, p0)), ("r0", r0 * s),
                     ("p1", self._xf_points(xf, p1)), ("r1", r1 * s),
@@ -630,7 +643,9 @@ class _Merger:
                     ("pL", self._xf_points(xf, pLc)), ("rL", rLc),
                     ("pR", self._xf_points(xf, pRc)), ("rR", rRc),
                     ("p0b", self._xf_points(xfb, p0b)), ("r0b", r0b * s),
-                    ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s)):
+                    ("p1b", self._xf_points(xfb, p1b)), ("r1b", r1b * s),
+                    ("pLb", self._xf_points(xfb, pLcb)), ("rLb", rLcb),
+                    ("pRb", self._xf_points(xfb, pRcb)), ("rRb", rRcb)):
                 self.line[key].append(np.asarray(arr, np.float32))
 
         elif isinstance(g, GridGeometry):
@@ -684,6 +699,11 @@ class _Merger:
                 _split_timesteps(verts, "subdiv", self._window, self._trange)
                 if verts.ndim == 3 else (verts, verts, False))
             self.has_motion |= motion or xf_motion
+            holes = getattr(g, "holes", None)
+            if holes is not None and len(np.atleast_1d(holes)):
+                keep = ~np.isin(qbase, np.asarray(holes, np.int64))
+                quads, qbase = quads[keep], qbase[keep]
+                quvm = np.asarray(quvm, np.float32)[keep]
             q0 = self._xf_points(xf, va[quads])
             q1 = self._xf_points(xfb, vb[quads])
             n = quads.shape[0]
@@ -977,6 +997,8 @@ class _Merger:
             line_pR=line["pR"], line_rR=line["rR"],
             line_p0b=line["p0b"], line_r0b=line["r0b"],
             line_p1b=line["p1b"], line_r1b=line["r1b"],
+            line_pLb=line["pLb"], line_rLb=line["rLb"],
+            line_pRb=line["pRb"], line_rRb=line["rRb"],
             curve_cp=curve_cp.reshape(-1, 4, 4), curve_cpb=curve_cpb.reshape(-1, 4, 4),
             curve_n=curve_n.reshape(-1, 4, 3), curve_nb=curve_nb.reshape(-1, 4, 3),
             user_lo=user_lo, user_up=user_up,
@@ -1198,10 +1220,10 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         r0 = minw(p0, lerp(scene.line_r0[i], scene.line_r0b[i]))
         r1 = minw(p1, lerp(scene.line_r1[i], scene.line_r1b[i]))
         if k == KIND_ROUND_LINE:
-            pL = lerp(scene.line_pL[i], scene.line_pL[i])
-            pR = lerp(scene.line_pR[i], scene.line_pR[i])
-            rL = scene.line_rL[i]
-            rR = scene.line_rR[i]
+            pL = lerp(scene.line_pL[i], scene.line_pLb[i])
+            pR = lerp(scene.line_pR[i], scene.line_pRb[i])
+            rL = lerp(scene.line_rL[i], scene.line_rLb[i])
+            rR = lerp(scene.line_rR[i], scene.line_rRb[i])
             if scene.min_width_factor > 0.0:
                 rL = jnp.where(rL >= 0, minw(pL, rL), rL)
                 rR = jnp.where(rR >= 0, minw(pR, rR), rR)

@@ -164,6 +164,94 @@ def run_ecs(ecs_path, size=512):
     from ..models.viewer import SHADERS
     rows_chunk = int(os.environ.get("PARITY_CHUNK_ROWS", 64))
 
+    # texcoords / texcoords-grid shaders (viewer_device_debug.cpp:268-285):
+    # the texcoord ATTRIBUTE is itself Catmull-Clark subdivided with its
+    # own topology and boundary mode (scene_subdiv_mesh.h vertex
+    # attributes; subdiv_mode= on texcoord_indices): refine the texcoord
+    # mesh in parallel with the positions (final quad k of face f
+    # corresponds 1:1) and scatter per-quad st corners into a per-face
+    # (res+1)^2 grid over face uv using the quad uv frames
+    tc_tabs = None
+    if cfg["shader"] in ("texcoords", "texcoords-grid"):
+        from ..ops.subdiv import catmull_clark
+        tabs = []
+        maxf, maxr = 1, 2
+        for g in xs.geometries:
+            tcs = getattr(g, "texcoords", None)
+            tci = getattr(g, "texcoord_indices", None)
+            fcs = getattr(g, "face_counts", None)
+            if tcs is None or tci is None or fcs is None:
+                tabs.append(None)
+                continue
+            tcs3 = np.concatenate([np.asarray(tcs, np.float32),
+                                   np.zeros((len(tcs), 1), np.float32)], -1)
+            mode = getattr(g, "texcoord_mode", None) or "smooth"
+            fcs64 = np.asarray(fcs, np.int64)
+            tci64 = np.asarray(tci, np.int64)
+            # pin modes (RTC_SUBDIVISION_MODE_PIN_*): pinned vertices act as
+            # infinitely creased corners and never move. Boundary verts sit
+            # on edges with exactly one adjacent face; corners touch exactly
+            # one face.
+            vc = None
+            if mode in ("pin_boundary", "pin_corners", "pin_all"):
+                from collections import Counter
+                ec, vfaces = Counter(), Counter()
+                off = 0
+                for fc in fcs64:
+                    f = tci64[off:off + fc]
+                    off += fc
+                    for a in f:
+                        vfaces[int(a)] += 1
+                    for k in range(fc):
+                        e = tuple(sorted((int(f[k]), int(f[(k + 1) % fc]))))
+                        ec[e] += 1
+                boundary_v = {v for e, n in ec.items() if n == 1 for v in e}
+                if mode == "pin_all":
+                    pin = set(range(len(tcs3)))
+                elif mode == "pin_boundary":
+                    pin = boundary_v
+                else:
+                    pin = {v for v in boundary_v if vfaces[v] == 1}
+                vc = {v: float("inf") for v in pin}
+            # the grid scatter keys off each corner's own uv, so the
+            # attribute refinement level is independent of the position
+            # level — two extra levels shrink the bilinear-vs-limit error
+            # 16x at negligible cost (2D mesh)
+            tv, tq, tqb, tquvm = catmull_clark(
+                tcs3, fcs64, tci64, levels=g.levels + 2,
+                vertex_creases=vc,
+                boundary_interpolation=(mode != "no_boundary"))
+            F = len(np.asarray(fcs))
+            res = int(round(np.sqrt(max(int((tqb == 0).sum()), 1))))
+            grid = np.zeros((F, res + 1, res + 1, 2), np.float32)
+            corners = tv[tq][..., :2]                     # (Q, 4, 2)
+            # refinement ROTATES child quads (each child's v0 is the parent
+            # corner), so scatter every corner by its own uv from the quad
+            # frame: uv0=(m0,m1), uv1=uv0+(m2,m3), uv3=uv0+(m4,m5),
+            # uv2=uv1+uv3-uv0 (cells are axis-aligned parallelograms)
+            u0 = tquvm[:, 0:2]
+            u1 = u0 + tquvm[:, 2:4]
+            u3 = u0 + tquvm[:, 4:6]
+            u2 = u1 + u3 - u0
+            for c, uvc in enumerate((u0, u1, u2, u3)):
+                ii = np.clip(np.round(uvc[:, 0] * res).astype(int), 0, res)
+                jj = np.clip(np.round(uvc[:, 1] * res).astype(int), 0, res)
+                grid[tqb, jj, ii] = corners[:, c]
+            tabs.append(grid)
+            maxf = max(maxf, F)
+            maxr = max(maxr, res + 1)
+        tc_tabs = np.zeros((len(tabs), maxf, maxr, maxr, 2), np.float32)
+        tc_res = np.ones(len(tabs), np.float32)
+        tc_has = np.zeros(len(tabs), bool)
+        for gi, tab in enumerate(tabs):
+            if tab is not None:
+                tc_tabs[gi, :tab.shape[0], :tab.shape[1], :tab.shape[2]] = tab
+                tc_res[gi] = tab.shape[1] - 1
+                tc_has[gi] = True
+        tc_tabs = jnp.asarray(tc_tabs)
+        tc_res = jnp.asarray(tc_res)
+        tc_has = jnp.asarray(tc_has)
+
     def render_chunk(cs, y0):
         rays_full = ispc_camera_rays(np.asarray(vp), np.asarray(vi),
                                      np.asarray(cfg["vu"]), cfg["fov"],
@@ -171,6 +259,40 @@ def run_ecs(ecs_path, size=512):
         rays = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, y0, rows_chunk, 0),
             rays_full)
+        if cfg["shader"] in ("texcoords", "texcoords-grid"):
+            hits = intersect(cs, rays)
+            gid = jnp.clip(hits.geom_id, 0,
+                           tc_tabs.shape[0] - 1).astype(jnp.int32)
+            fid = jnp.clip(hits.prim_id, 0,
+                           tc_tabs.shape[1] - 1).astype(jnp.int32)
+            res = tc_res[gid]
+            xg = jnp.clip(hits.u, 0.0, 1.0) * res
+            yg = jnp.clip(hits.v, 0.0, 1.0) * res
+            x0 = jnp.clip(jnp.floor(xg), 0, res - 1).astype(jnp.int32)
+            y0 = jnp.clip(jnp.floor(yg), 0, res - 1).astype(jnp.int32)
+            fx = (xg - x0)[..., None]
+            fy = (yg - y0)[..., None]
+            g00 = tc_tabs[gid, fid, y0, x0]
+            g01 = tc_tabs[gid, fid, y0, x0 + 1]
+            g10 = tc_tabs[gid, fid, y0 + 1, x0]
+            g11 = tc_tabs[gid, fid, y0 + 1, x0 + 1]
+            st = ((1 - fy) * ((1 - fx) * g00 + fx * g01)
+                  + fy * ((1 - fx) * g10 + fx * g11))
+            has = tc_has[gid]
+            if cfg["shader"] == "texcoords":
+                col = jnp.stack([st[..., 0], st[..., 1],
+                                 jnp.zeros_like(st[..., 0])], -1)
+            else:
+                # ((int)(10*s)+(int)(10*t)) % 2: C int cast truncates to 0
+                a = jnp.trunc(10.0 * st[..., 0]).astype(jnp.int32)
+                b = jnp.trunc(10.0 * st[..., 1]).astype(jnp.int32)
+                red = ((a + b) % 2) == 0
+                col = jnp.where(red[..., None],
+                                jnp.array([1.0, 0.0, 0.0]),
+                                jnp.array([0.0, 1.0, 0.0]))
+            col = jnp.where(has[..., None], col, 1.0)  # no attrs -> white
+            return jnp.where(hits.valid[..., None], col,
+                             jnp.array([0.0, 0.0, 1.0]))   # miss -> blue
         if cfg["shader"] != "default":
             hits = intersect(cs, rays)
             return SHADERS[cfg["shader"]](cs, rays, hits)

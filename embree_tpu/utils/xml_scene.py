@@ -591,11 +591,19 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
             for vid, w in zip(vids, vws):
                 if w > 0:
                     vcreases[int(vid)] = float(w)
+        holes = _ints(elem.find("holes")) \
+            if elem.find("holes") is not None else None
+        tcs = _buffer(elem, "texcoords", 2)
+        tcie = elem.find("texcoord_indices")
+        tci = _ints(tcie) if tcie is not None else None
+        tcmode = tcie.get("subdiv_mode") if tcie is not None else None
         # level 5 approximates the reference's adaptive tessellation of the
         # limit surface closely enough for golden-image parity
         out.geometries.append(SubdivisionGeometry(
             pos, faces, idx, levels=5, creases=creases or None,
-            vertex_creases=vcreases or None))
+            vertex_creases=vcreases or None, holes=holes,
+            texcoords=tcs, texcoord_indices=tci,
+            texcoord_mode=tcmode))
     elif tag in ("Curves", "BezierCurves", "BSplineCurves", "BSplineHair",
                  "BezierHair", "Hair"):
         # per-tag defaults mirror loadNode's RTC type choices
