@@ -369,6 +369,7 @@ class SubdivisionGeometry:
     texcoords: Optional[object] = None     # (Nt, 2)
     texcoord_indices: Optional[object] = None  # flat, parallel to indices
     texcoord_mode: Optional[str] = None    # attribute RTC_SUBDIVISION_MODE
+    position_mode: Optional[str] = None    # position RTC_SUBDIVISION_MODE
     mask: int = 0xFFFFFFFF
     enabled: bool = True
     filter: Optional[FilterFn] = None

@@ -40,7 +40,8 @@ def catmull_clark(vertices: np.ndarray, face_counts: np.ndarray,
                   creases: Optional[Dict[Tuple[int, int], float]] = None,
                   vertex_creases: Optional[Dict[int, float]] = None,
                   boundary_interpolation: bool = True,
-                  to_limit: bool = True):
+                  to_limit: bool = True,
+                  boundary_mode: Optional[str] = None):
     """Uniformly subdivide `levels` times, then project to the limit surface.
 
     Args:
@@ -68,6 +69,28 @@ def catmull_clark(vertices: np.ndarray, face_counts: np.ndarray,
     base = list(range(len(faces)))
     crease = dict(creases or {})
     vcrease = dict(vertex_creases or {})
+    # RTC_SUBDIVISION_MODE (rtcore_geometry.h:56-63) pinning: pinned
+    # vertices never move and skip limit projection; pin_boundary also pins
+    # every newly created boundary edge midpoint; pin_all degenerates the
+    # whole refinement to linear face splitting (limit = cage)
+    pinned: set = set()
+    if boundary_mode in ("pin_boundary", "pin_corners", "pin_all"):
+        ef: Dict[Tuple[int, int], int] = {}
+        vf: Dict[int, int] = {}
+        for f in faces:
+            n = len(f)
+            for k in range(n):
+                e = tuple(sorted((f[k], f[(k + 1) % n])))
+                ef[e] = ef.get(e, 0) + 1
+            for v in f:
+                vf[v] = vf.get(v, 0) + 1
+        bverts = {v for e, c in ef.items() if c == 1 for v in e}
+        if boundary_mode == "pin_all":
+            pinned = set(range(Vs[0].shape[0]))
+        elif boundary_mode == "pin_boundary":
+            pinned = bverts
+        else:
+            pinned = {v for v in bverts if vf.get(v, 0) == 1}
     # base-face uv corners: exact for quads, None for n-gons
     fuv = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
            if len(f) == 4 else None for f in faces]
@@ -75,12 +98,13 @@ def catmull_clark(vertices: np.ndarray, face_counts: np.ndarray,
     Vs = list(Vs)
     for _ in range(max(levels, 0)):
         out = _subdivide_once(Vs, faces, base, crease, vcrease, fuv,
-                              boundary_interpolation)
-        Vs, faces, base, crease, vcrease, fuv = out
+                              boundary_interpolation, pinned,
+                              boundary_mode)
+        Vs, faces, base, crease, vcrease, fuv, pinned = out
 
     if to_limit:
         Vs = [_limit_project(V, faces, crease, vcrease,
-                             boundary_interpolation) for V in Vs]
+                             boundary_interpolation, pinned) for V in Vs]
 
     # after >=1 level everything is quads; with levels=0 fan-split non-quads
     quads = []
@@ -126,7 +150,8 @@ def _eff_w(e, crease, edge_faces):
     return crease.get(e, 0.0)
 
 
-def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
+def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary,
+                    pinned=frozenset(), boundary_mode=None):
     nv = Vs[0].shape[0]
     # --- adjacency ---
     edge_faces: Dict[Tuple[int, int], List[int]] = {}
@@ -172,6 +197,8 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
         # 2-crease vertices blend smooth<->sharp by 0.5*(w0+w1)) ---
         VP = V.copy()
         for v in range(nv):
+            if v in pinned:
+                continue              # pinned: never moves
             edges = vert_edges.get(v, [])
             fcs = vert_faces.get(v, [])
             if not edges:
@@ -210,6 +237,15 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
 
         newVs.append(np.concatenate([VP, fp, np.asarray(ep_list)], axis=0))
 
+    # --- propagate pinning to the refined mesh ---
+    new_pinned = set(pinned)
+    if boundary_mode == "pin_all":
+        new_pinned = set(range(nv + len(faces) + len(edge_order)))
+    elif boundary_mode == "pin_boundary":
+        for e in edge_order:
+            if len(edge_faces[e]) == 1:
+                new_pinned.add(ep_idx[e])     # new boundary midpoints pin
+
     # --- new faces: one quad per (face, corner), with uv frames ---
     new_faces = []
     new_base = []
@@ -230,6 +266,16 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
                      0.25 * sum(p[1] for p in uv))
                 D = uv[(k - 1) % 4]
                 new_fuv.append([A, _mid_uv(A, B), C, _mid_uv(D, A)])
+            elif n != 4:
+                # irregular (general) face: child k owns the 2x2 uv block at
+                # (k%4, k//4) with its unit square centered — the reference's
+                # SubdividedGeneralPatch parameterization
+                # (patch_eval.h:58-64: l=floor(U/2), u=2*frac(U/2)-0.5)
+                l, h = k % 4, k // 4
+                new_fuv.append([(2 * l + 0.5, 2 * h + 0.5),
+                                (2 * l + 1.5, 2 * h + 0.5),
+                                (2 * l + 1.5, 2 * h + 1.5),
+                                (2 * l + 0.5, 2 * h + 1.5)])
             else:
                 new_fuv.append(None)
 
@@ -258,10 +304,12 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary):
     new_vcrease = {v: (w if not np.isfinite(w) else w - 1.0)
                    for v, w in vcrease.items()
                    if not np.isfinite(w) or w > 1.0}
-    return newVs, new_faces, new_base, new_crease, new_vcrease, new_fuv
+    return (newVs, new_faces, new_base, new_crease, new_vcrease, new_fuv,
+            new_pinned)
 
 
-def _limit_project(V, faces, crease, vcrease, smooth_boundary):
+def _limit_project(V, faces, crease, vcrease, smooth_boundary,
+                   pinned=frozenset()):
     """Push a refined control cage onto the Catmull-Clark limit surface.
 
     Closed-form limit stencils (catmullclark_ring.h getLimitVertex roles):
@@ -287,6 +335,8 @@ def _limit_project(V, faces, crease, vcrease, smooth_boundary):
 
     out = V.copy()
     for v, edges in vert_edges.items():
+        if v in pinned:
+            continue                  # pinned: limit = cage position
         fcs = vert_faces.get(v, [])
         n = len(fcs)
         interior = n > 0 and len(edges) == n

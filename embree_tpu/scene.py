@@ -686,22 +686,59 @@ class _Merger:
 
         elif isinstance(g, SubdivisionGeometry):
             from .ops.subdiv import catmull_clark
+            fcs_in = np.asarray(g.face_counts, np.int64)
+            idx_in = np.asarray(g.indices, np.int64)
+            face_map = np.arange(fcs_in.shape[0], dtype=np.int64)
+            holes0 = getattr(g, "holes", None)
+            if holes0 is not None and len(np.atleast_1d(holes0)):
+                # RTC_BUFFER_TYPE_HOLE faces are removed BEFORE refinement:
+                # their edges become boundaries and shape the neighbors'
+                # subdivision (scene_subdiv_mesh holes semantics)
+                hset = np.isin(face_map, np.atleast_1d(
+                    np.asarray(holes0, np.int64)))
+                starts = np.concatenate([[0], np.cumsum(fcs_in)[:-1]])
+                keep_idx = np.concatenate(
+                    [idx_in[s0:s0 + c]
+                     for s0, c, h in zip(starts, fcs_in, hset) if not h])                     if (~hset).any() else np.zeros(0, np.int64)
+                face_map = face_map[~hset]
+                fcs_in = fcs_in[~hset]
+                idx_in = keep_idx
             verts, quads, qbase, quvm = catmull_clark(
-                np.asarray(g.vertices, np.float32),
-                np.asarray(g.face_counts, np.int64),
-                np.asarray(g.indices, np.int64),
+                np.asarray(g.vertices, np.float32), fcs_in, idx_in,
                 levels=g.levels, creases=g.creases,
                 vertex_creases=getattr(g, "vertex_creases", None),
-                boundary_interpolation=g.boundary_interpolation)
+                boundary_interpolation=g.boundary_interpolation,
+                boundary_mode=getattr(g, "position_mode", None))
+            qbase = face_map[qbase]         # back to ORIGINAL face ids
             # motion steps subdivide independently (CC is linear in the
             # cage for fixed topology, so per-step refine + lerp is exact)
             va, vb, motion = (
                 _split_timesteps(verts, "subdiv", self._window, self._trange)
                 if verts.ndim == 3 else (verts, verts, False))
             self.has_motion |= motion or xf_motion
-            holes = getattr(g, "holes", None)
-            if holes is not None and len(np.atleast_1d(holes)):
-                keep = ~np.isin(qbase, np.asarray(holes, np.int64))
+            holes = np.zeros(0, np.int64)
+            if getattr(g, "position_mode", None) == "no_boundary":
+                # RTC_SUBDIVISION_MODE_NO_BOUNDARY: patches touching a
+                # boundary edge have no limit surface — drop those base
+                # faces (rtcore_geometry.h:57)
+                fcs_ = np.asarray(g.face_counts, np.int64)
+                idx_ = np.asarray(g.indices, np.int64)
+                ecnt = {}
+                off = 0
+                fedges = []
+                for fc in fcs_:
+                    f = idx_[off:off + fc]
+                    off += fc
+                    es = [tuple(sorted((int(f[k]), int(f[(k + 1) % fc]))))
+                          for k in range(fc)]
+                    fedges.append(es)
+                    for e in es:
+                        ecnt[e] = ecnt.get(e, 0) + 1
+                bfaces = [fi for fi, es in enumerate(fedges)
+                          if any(ecnt[e] == 1 for e in es)]
+                holes = np.union1d(holes, np.asarray(bfaces, np.int64))
+            if holes.size:
+                keep = ~np.isin(qbase, holes)
                 quads, qbase = quads[keep], qbase[keep]
                 quvm = np.asarray(quvm, np.float32)[keep]
             q0 = self._xf_points(xf, va[quads])

@@ -188,38 +188,9 @@ def run_ecs(ecs_path, size=512):
             mode = getattr(g, "texcoord_mode", None) or "smooth"
             fcs64 = np.asarray(fcs, np.int64)
             tci64 = np.asarray(tci, np.int64)
-            # pin modes (RTC_SUBDIVISION_MODE_PIN_*): pinned vertices act as
-            # infinitely creased corners and never move. Boundary verts sit
-            # on edges with exactly one adjacent face; corners touch exactly
-            # one face.
-            vc = None
-            if mode in ("pin_boundary", "pin_corners", "pin_all"):
-                from collections import Counter
-                ec, vfaces = Counter(), Counter()
-                off = 0
-                for fc in fcs64:
-                    f = tci64[off:off + fc]
-                    off += fc
-                    for a in f:
-                        vfaces[int(a)] += 1
-                    for k in range(fc):
-                        e = tuple(sorted((int(f[k]), int(f[(k + 1) % fc]))))
-                        ec[e] += 1
-                boundary_v = {v for e, n in ec.items() if n == 1 for v in e}
-                if mode == "pin_all":
-                    pin = set(range(len(tcs3)))
-                elif mode == "pin_boundary":
-                    pin = boundary_v
-                else:
-                    pin = {v for v in boundary_v if vfaces[v] == 1}
-                vc = {v: float("inf") for v in pin}
-            # the grid scatter keys off each corner's own uv, so the
-            # attribute refinement level is independent of the position
-            # level — two extra levels shrink the bilinear-vs-limit error
-            # 16x at negligible cost (2D mesh)
             tv, tq, tqb, tquvm = catmull_clark(
                 tcs3, fcs64, tci64, levels=g.levels + 2,
-                vertex_creases=vc,
+                boundary_mode=mode,
                 boundary_interpolation=(mode != "no_boundary"))
             F = len(np.asarray(fcs))
             res = int(round(np.sqrt(max(int((tqb == 0).sum()), 1))))

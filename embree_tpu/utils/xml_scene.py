@@ -576,7 +576,9 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
         out.geometries.append(GridGeometry(pos, grids))
     elif tag == "SubdivisionMesh":
         pos = _xf_positions_anim(xf, _positions(elem, 3))
-        idx = _ints(elem.find("position_indices"))
+        pie = elem.find("position_indices")
+        idx = _ints(pie)
+        pmode = pie.get("subdiv_mode") if pie is not None else None
         faces = _ints(elem.find("faces"))
         creases = {}
         ec = _ints(elem.find("edge_creases")).reshape(-1, 2)
@@ -603,7 +605,7 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
             pos, faces, idx, levels=5, creases=creases or None,
             vertex_creases=vcreases or None, holes=holes,
             texcoords=tcs, texcoord_indices=tci,
-            texcoord_mode=tcmode))
+            texcoord_mode=tcmode, position_mode=pmode))
     elif tag in ("Curves", "BezierCurves", "BSplineCurves", "BSplineHair",
                  "BezierHair", "Hair"):
         # per-tag defaults mirror loadNode's RTC type choices
