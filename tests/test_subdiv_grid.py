@@ -100,3 +100,50 @@ def test_grid_geometry():
     np.testing.assert_array_equal(np.asarray(h.valid), [True, True, False])
     np.testing.assert_array_equal(np.asarray(h.geom_id[:2]), [gid, gid])
     np.testing.assert_array_equal(np.asarray(h.prim_id[:2]), [0, 0])  # grid 0
+
+
+def test_subdiv_boundary_modes_and_holes():
+    """RTC_SUBDIVISION_MODE pinning + pre-refinement holes
+    (rtcore_geometry.h:56-63): pin_all keeps the cage exactly; pin_boundary
+    pins the outline; holes open the surface before refinement."""
+    import numpy as np
+    from embree_tpu.ops.subdiv import catmull_clark
+    v = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0],
+                  [0, 1, 0], [1, 1, 1], [2, 1, 0],
+                  [0, 2, 0], [1, 2, 0], [2, 2, 0]], np.float32)
+    fc = np.full(4, 4, np.int64)
+    idx = np.array([0, 1, 4, 3, 1, 2, 5, 4, 3, 4, 7, 6, 4, 5, 8, 7],
+                   np.int64)
+
+    # pin_all: limit == cage (every vertex frozen, linear splitting)
+    pv, pq, _, _ = catmull_clark(v, fc, idx, levels=2,
+                                 boundary_mode="pin_all")
+    corners = {tuple(np.round(p, 5)) for p in pv.reshape(-1, 3)}
+    for orig in v:
+        assert tuple(np.round(orig, 5)) in corners
+    assert abs(pv[:, 2].max() - 1.0) < 1e-6      # center peak unchanged
+
+    # pin_boundary: outline verts frozen, interior smooths the peak down
+    bv, *_ = catmull_clark(v, fc, idx, levels=2,
+                           boundary_mode="pin_boundary")
+    bcorners = {tuple(np.round(p, 5)) for p in bv.reshape(-1, 3)}
+    for orig in v[[0, 1, 2, 3, 5, 6, 7, 8]]:     # boundary ring
+        assert tuple(np.round(orig, 5)) in bcorners
+    assert bv[:, 2].max() < 1.0 - 1e-3           # peak smoothed
+
+    # smooth (default): the interior peak pulls the surface up between
+    # pinned-mode and cage heights
+    sv, *_ = catmull_clark(v, fc, idx, levels=2)
+    assert 0.0 < sv[:, 2].max() < 1.0
+
+    # holes via the scene path: a 4-quad sheet with one face holed keeps
+    # 3 base faces' quads only
+    import embree_tpu as et
+    s = et.Scene()
+    s.attach(et.SubdivisionGeometry(v, fc, idx, levels=2,
+                                    holes=np.array([0])))
+    cs = s.commit()
+    import numpy as _np
+    assert 0 not in set(_np.asarray(cs.prim_local).tolist()) or True
+    # base face 0 contributes no prims
+    assert (_np.asarray(cs.prim_local) != 0).all()
