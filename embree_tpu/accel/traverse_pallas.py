@@ -482,7 +482,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
             def lf(k):
                 a = lbuf_ref[k]
-                return a + wl8 * (lbuf_ref[N_FIELDS + k] - a)
+                return a + wl8 * (lbuf_ref[NF + k] - a)
         else:
             def lf(k):
                 return lbuf_ref[k]

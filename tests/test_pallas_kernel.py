@@ -231,3 +231,38 @@ def test_round_curve_kernel_close_to_jnp():
     tp_, tj_ = np.asarray(h_p.t)[both], np.asarray(h_j.t)[both]
     # distances agree to ~1% for the vast majority of rays
     assert (np.abs(tp_ - tj_) / np.maximum(tj_, 1e-3) < 0.01).mean() > 0.95
+
+
+def test_flat_curve_motion_kernel_matches_jnp():
+    """Curve (16-field) records with 2-step motion: the kernel's B-field
+    lerp must read at offset NF, not the 9-field constant (regression:
+    mblur_time_range_curve diverged only on the kernel path)."""
+    rng = np.random.default_rng(11)
+    cp0 = np.zeros((8, 4), np.float32)
+    for c in range(2):
+        base = rng.uniform(-1, 1, 3)
+        d = rng.normal(size=3); d /= np.linalg.norm(d)
+        for j in range(4):
+            cp0[4 * c + j, :3] = base + d * (0.6 * j)
+            cp0[4 * c + j, 3] = 0.2
+    cp1 = cp0.copy()
+    cp1[:, :3] += np.array([0.0, 0.0, 1.0], np.float32)
+    s = et.Scene()
+    s.attach(et.CurveGeometry(np.stack([cp0, cp1]),
+                              np.array([0, 4], np.int32),
+                              basis="bezier", kind="flat"))
+    cs = s.commit()
+    assert cs.packed is not None and cs.packed.nf == 16 and cs.packed.has_motion
+    rays = random_rays(jax.random.PRNGKey(6), 256)
+    t = jnp.asarray(np.random.default_rng(2).uniform(0, 1, 256)
+                    .astype(np.float32))
+    rays = jax.tree.map(lambda x: x, rays)
+    import dataclasses as _dc
+    rays = _dc.replace(rays, time=t)
+    h_p = et.intersect(cs, rays, backend="pallas")
+    h_j = jax.jit(lambda c, r: et.intersect(c, r, backend="jnp"))(cs, rays)
+    m_p, m_j = np.asarray(h_p.valid), np.asarray(h_j.valid)
+    assert (m_p == m_j).mean() > 0.99
+    both = m_p & m_j
+    np.testing.assert_allclose(np.asarray(h_p.t)[both],
+                               np.asarray(h_j.t)[both], rtol=1e-3, atol=1e-3)
