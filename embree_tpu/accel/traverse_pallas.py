@@ -1313,7 +1313,11 @@ def _residency(packed: PackedScene):
         NSL_L = int(min(max(avail // tile_l, UGRP), 2048))
     resident = (node_bytes if not stream_nodes else NSL_N * tile_n) + \
                (leaf_bytes if not stream_leaves else NSL_L * tile_l)
-    vmem_limit = min(int((resident + scratch_bytes) * 1.2) + (8 << 20),
+    # generous slack: the compiler's scoped stack (fusion temporaries of the
+    # curve leaf math) exceeded a tight bound on hair scenes — 24 MiB extra
+    # plus 2x the scratch estimate keeps the limit comfortably above Mosaic's
+    # true demand while still far under the 128 MiB core budget
+    vmem_limit = min(int(resident * 1.2 + scratch_bytes * 2) + (24 << 20),
                      VMEM_HARD_LIMIT)
     return (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
             scratch_bytes, NSL_N, NSL_L)
