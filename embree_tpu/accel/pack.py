@@ -1,4 +1,4 @@
-"""Pack a BVH8 + the merged primitive table into the two record tables the
+"""Pack a BVH8 + the merged primitive table into the UNIFIED record table the
 Pallas traversal kernel consumes.
 
 Layout rationale (TPU-first): the kernel fetches one record per ray per step
@@ -12,7 +12,14 @@ store child bounds as conservatively-rounded bfloat16 PAIRS (two bounds per
 int32 row) — the TPU analog of Embree's QuantizedNode
 (kernels/bvh/bvh_node_qaabb.h). Leaf primitives stay exact f32.
 
-Internal record (node_table, int32, 32 rows = 4 gather chunks):
+v12: internal and leaf records live in ONE table (node tiles first, then
+leaf tiles, all padded to the same row count), so a traversal step runs a
+SINGLE fetch phase serving node-lanes and leaf-lanes together — halving the
+serve-loop machinery that dominated the r4 step time (NOTES_r4 perf model:
+two fetch phases at 44% of the step). A lane's current ref encodes the kind
+(>=0 node record, <0 leaf record) and maps to tile GN + rec//128 for leaves.
+
+Internal record (int32, first 32 rows of its tile; rest zero padding):
   row 0..7     : child refs (>=0: node record id; <0: leaf record ref
                  = -(leaf id)-1; INVALID_REC: empty slot)
   row 8+8d+c   : dim d (x,y,z) of child c: lo as the LOW 16 bits (bf16
@@ -20,7 +27,7 @@ Internal record (node_table, int32, 32 rows = 4 gather chunks):
                  (decode = bits & 0xFFFF0000); lo rounded toward -inf, hi
                  toward +inf (boxes only grow).
 
-Leaf record (leaf_table, float32, 8 primitive SLOTS per record; slot s of
+Leaf record (float32 bit patterns, 8 primitive SLOTS per record; slot s of
 field k lives at row 8*k + s). Every primitive kind is encoded into 9 generic
 fields (the per-type layouts of kernels/geometry/{triangle,sphere,disc,
 coneline}_intersector.h collapsed into one record shape):
@@ -37,7 +44,7 @@ analog). Empty/padding slots are kind 0 with zero fields: Möller det == 0
 can never report a hit. Slot identity is implicit (8*record+slot), mapped
 back to the merged prim table through pid_map post-kernel.
 
-Record 0 of node_table is the root. Table shapes: (G, rows, 128).
+Record 0 (tile 0) is the root. Table shape: (GN+GL, ltab_rows, 128) int32.
 """
 from __future__ import annotations
 
@@ -68,9 +75,10 @@ def ltab_rows(has_mask: bool, has_motion: bool = False,
 @dataclasses.dataclass
 class PackedScene:
     """Device-resident packed traversable for the Pallas kernel."""
-    node_table: jnp.ndarray    # (GN, 32, 128) int32
-    leaf_table: jnp.ndarray    # (GL, ltab_rows, 128) float32
+    table: jnp.ndarray         # (GN+GL, ltab_rows, 128) int32 unified table
     pid_map: jnp.ndarray       # (GL*128*8,) int32: slot -> merged prim index
+    gn: int = 1                # static: node tiles (table prefix)
+    gl: int = 1                # static: leaf tiles (table suffix)
     has_mask: bool = False     # static: leaf records carry a mask chunk
     has_motion: bool = False   # static: leaf records carry B-step fields
     has_kinds: bool = False    # static: leaf records carry a kind-tag chunk
@@ -84,30 +92,74 @@ class PackedScene:
     curve_rate: int = 4        # static: ribbon/tessellation sub-segments
 
     def tree_flatten(self):
-        return ((self.node_table, self.leaf_table, self.pid_map),
-                (self.has_mask, self.has_motion, self.has_kinds,
-                 self.kind_classes, self.tri_attrs, self.has_win,
-                 self.nf, self.curve_rate))
+        return ((self.table, self.pid_map),
+                (self.gn, self.gl, self.has_mask, self.has_motion,
+                 self.has_kinds, self.kind_classes, self.tri_attrs,
+                 self.has_win, self.nf, self.curve_rate))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], *aux)
+        return cls(children[0], children[1], *aux)
 
     @property
     def n_node_tiles(self):
-        return self.node_table.shape[0]
+        return self.gn
 
     @property
     def n_leaf_tiles(self):
-        return self.leaf_table.shape[0]
+        return self.gl
 
     @property
     def n_tiles(self):
-        return self.node_table.shape[0] + self.leaf_table.shape[0]
+        return self.gn + self.gl
 
 
 def _f32_bits(x_int):
     return np.asarray(x_int, np.int32).view(np.float32)
+
+
+def _dfs_positions(child, n_wide):
+    """Preorder (DFS) position of every wide node — vectorized, no Python
+    recursion: O(depth) numpy passes (levels -> subtree sizes bottom-up ->
+    preorder offsets top-down).
+
+    The level-synchronous builder emits nodes in BFS order, which scatters a
+    subtree's nodes (and its leaves, numbered from the node order) across
+    the record table by DEPTH. The traversal kernel's fetch cost is
+    proportional to DISTINCT 128-record tiles touched per 128-ray group per
+    step, and coherent rays descend a common subtree — DFS order makes
+    subtrees contiguous so those lanes land in the same tiles (the
+    cache-friendly relayout role of the reference's layoutLargeNodes,
+    kernels/bvh/bvh.h:108)."""
+    internal = (child >= 0) & (child < n_wide)
+    ch = np.where(internal, child, 0)
+    depth = np.full(n_wide, -1, np.int64)
+    depth[0] = 0
+    levels = [np.array([0])]
+    while True:
+        lev = levels[-1]
+        kids = ch[lev][internal[lev]]
+        kids = kids[depth[kids] < 0]       # guard against corrupt cycles
+        if kids.size == 0:
+            break
+        depth[kids] = len(levels)
+        levels.append(kids)
+    size = np.ones(n_wide, np.int64)
+    for lev in levels[::-1]:
+        m = internal[lev]
+        size[lev] += np.where(m, size[ch[lev]], 0).sum(axis=1)
+    pos = np.zeros(n_wide, np.int64)
+    nxt = int(size[0])                     # first position after the tree
+    for lev in levels:
+        m = internal[lev]
+        sub = np.where(m, size[ch[lev]], 0)
+        prefix = np.cumsum(sub, axis=1) - sub
+        childpos = pos[lev][:, None] + 1 + prefix
+        pos[ch[lev][m]] = childpos[m]
+    unreached = depth < 0
+    if unreached.any():                    # padding/detached nodes -> tail
+        pos[unreached] = nxt + np.arange(int(unreached.sum()))
+    return pos
 
 
 def _bf16_bits_dir(x, toward_pos: bool):
@@ -146,6 +198,21 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     lo = np.asarray(bvh8.node_lower[:n_wide])             # (n_wide, 8, 3)
     up = np.asarray(bvh8.node_upper[:n_wide])
 
+    # DFS-relayout wide nodes (subtree-contiguous records; see
+    # _dfs_positions). Internal child refs are remapped; leaf refs are
+    # renumbered implicitly below from the permuted flat order.
+    if n_wide > 1:
+        pos = _dfs_positions(child, n_wide)
+        internal2 = (child >= 0) & (child < n_wide)
+        child = np.where(internal2, pos[np.where(internal2, child, 0)], child)
+        child2 = np.empty_like(child)
+        lo2 = np.empty_like(lo)
+        up2 = np.empty_like(up)
+        child2[pos] = child
+        lo2[pos] = lo
+        up2[pos] = up
+        child, lo, up = child2, lo2, up2
+
     # --- record numbering: leaf records ordered by (node, slot), which keeps
     # sibling leaves adjacent for coherent ray blocks ---
     leaf_mask2 = np.asarray(is_leaf(child))                      # (n_wide, 8)
@@ -165,7 +232,8 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
     GL = max(1, -(-max(n_leaf, 1) // LANE))
     leaf_rows = ltab_rows(has_mask, has_motion, has_kinds, has_win, nf)
 
-    # --- internal records (int32) ---
+    # --- internal records (int32), padded to the unified tile row count ---
+    assert leaf_rows >= NODE_ROWS
     internal = np.zeros((n_wide, NODE_ROWS), np.int32)
     internal[:, 0:8] = packed_ref
     for d in range(3):
@@ -173,11 +241,9 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
         hi16 = _bf16_bits_dir(up[..., d], toward_pos=True)
         internal[:, 8 + 8 * d:16 + 8 * d] = lo16 | (hi16 << 16)
 
-    node_recs = np.zeros((GN * LANE, NODE_ROWS), np.int32)
+    node_recs = np.zeros((GN * LANE, leaf_rows), np.int32)
     node_recs[:, 0:8] = INVALID_REC                       # inert padding
-    node_recs[:n_wide] = internal
-    node_table = np.ascontiguousarray(
-        node_recs.reshape(GN, LANE, NODE_ROWS).transpose(0, 2, 1))
+    node_recs[:n_wide, :NODE_ROWS] = internal
 
     # --- leaf records (float32) ---
     starts, counts = decode_leaf(child)
@@ -224,8 +290,10 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
 
     leaf_recs = np.zeros((GL * LANE, leaf_rows), np.float32)
     leaf_recs[:leaf.shape[0]] = leaf
-    leaf_table = np.ascontiguousarray(
-        leaf_recs.reshape(GL, LANE, leaf_rows).transpose(0, 2, 1))
+    # unified table: node tiles first, leaf tiles after (all int32 bits)
+    recs = np.concatenate([node_recs, leaf_recs.view(np.int32)], axis=0)
+    table = np.ascontiguousarray(
+        recs.reshape(GN + GL, LANE, leaf_rows).transpose(0, 2, 1))
 
     # --- slot -> merged prim index map (padded slots/records -> -1) ---
     pid_tab = np.where(valid, pid.astype(np.int32), -1)
@@ -234,8 +302,8 @@ def pack(bvh8: BVH, n_wide: int, slot_fields_a, slot_fields_b, slot_kind,
         pid_map[:n_leaf] = pid_tab
     pid_map = pid_map.reshape(GL * LANE * LEAF_WIDTH)
 
-    return PackedScene(node_table=node_table, leaf_table=leaf_table,
-                       pid_map=pid_map, has_mask=has_mask,
+    return PackedScene(table=table, pid_map=pid_map,
+                       gn=GN, gl=GL, has_mask=has_mask,
                        has_motion=has_motion, has_kinds=has_kinds,
                        kind_classes=tuple(kind_classes),
                        tri_attrs=(tuple(kind_classes) == (0,)

@@ -26,13 +26,19 @@ Key layout/compute devices:
   expand/extract between (U,128) and (U,8,128) shapes is ever needed.
 - Records are fetched into per-field (ROWS,128) scratch buffers — one
   gatherable 8-row chunk per field — so the compute phase reads whole
-  register blocks (zero repacking). Node = 4 chunks, leaf = 9 (+1 with
-  geometry masks; mask-free scenes skip the chunk — static specialization,
-  the RTCFeatureFlags analog).
-- Fetch: per step, each group dynamic-slices ITS OWN next outstanding table
-  tile (row-min over lane tile ids) and lane-gathers its records; a short
-  while loop serves stragglers in other tiles. Leaf identity is implicit
-  (8*record+slot, remapped to prim ids post-kernel via pid_map).
+  register blocks (zero repacking). Nodes use the first 4 chunks of the
+  UNIFIED record layout, leaves all of them (mask-free scenes skip the mask
+  chunk — static specialization, the RTCFeatureFlags analog).
+- Fetch (v12): node and leaf records live in ONE unified table (pack.py), so
+  each step runs a SINGLE fetch phase over all active lanes. For resident
+  tables the fetch is LOOP-FREE: FETCH_TILES distinct tiles are served per
+  group per step (full-width masked-min chain + per-group lane-gathers
+  merged in registers); lanes beyond that STALL — they keep their state and
+  retry next step. This removes the two per-step `while_loop`s whose
+  ~0.75 µs scalar-sync floor dominated the r4 step time. HBM-streamed
+  tables keep one while loop (DMA misses need it) with the node-tile prefix
+  of the table pinned resident. Leaf identity is implicit (8*record+slot,
+  remapped to prim ids post-kernel via pid_map).
 - Leaves hold 8 triangles (LEAF_WIDTH == node width) so the Möller test
   rides the exact same (ROWS,128) register layout as the node slab test.
 - Lockstep is per-(U*128)-ray program: programs retire independently,
@@ -58,7 +64,13 @@ UGRP = int(_os_tune.environ.get("EMBREE_TPU_UGRP", 16))
 ROWS = UGRP * 8
 STACK_BLOCKS = 8         # stack capacity = 64 refs/ray ((W-1)*depth analog)
 STACK_HOT = int(_os_tune.environ.get("EMBREE_TPU_STACK_HOT", 2))
-UNROLL = int(_os_tune.environ.get("EMBREE_TPU_UNROLL", 2))
+UNROLL = int(_os_tune.environ.get("EMBREE_TPU_UNROLL", 1))
+# distinct table tiles served per group per step on the loop-free resident
+# fetch path; lanes in further tiles stall to the next step
+FETCH_TILES = int(_os_tune.environ.get("EMBREE_TPU_FETCH_TILES", 5))
+# 1: serve straggler tiles with a while loop each step instead of stalling
+# (pays the ~0.75us loop scalar-sync floor every step — off by default)
+FETCH_FINISH = int(_os_tune.environ.get("EMBREE_TPU_FETCH_FINISH", 0))
 # resident tables with <= this many tiles are served by unconditional
 # all-tile gathers (no fetch loop); see fetch() small path
 SMALL_TILES = int(_os_tune.environ.get("EMBREE_TPU_SMALL_TILES", 6))
@@ -73,15 +85,13 @@ VMEM_HARD_LIMIT = 100 << 20
 # the stat.h traversal-counter analog). May hold a traced value under jit.
 LAST_STEPS = [None]
 
-# debug: make the first fetch trip use the masked-merge path (bisection aid)
-_DEBUG_COND_FIRST = [False]
-
 # phase-ablation toggles for perf work (EMBREE_TPU_ABLATE=pin24,nosort,...):
 # pinned-step-count timing with phases removed; results are garbage
 import os as _os_mod
 _ABLATE = set(filter(None, _os_mod.environ.get(
     "EMBREE_TPU_ABLATE", "").split(",")))
 _SORT_IMPL = _os_mod.environ.get("EMBREE_TPU_SORTIMPL", "pergroup")
+_EXPAND_IMPL = _os_mod.environ.get("EMBREE_TPU_EXPAND", "bcast")
 
 # Bitonic network for 8 elements: (k, j) compare-exchange stages.
 _SORT_STAGES = ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1))
@@ -95,16 +105,20 @@ def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
+def _kernel(ntab_ref, atab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             mask_ref, time_ref,
             out_t_ref, out_prim_ref, out_steps_ref, out_attr_ref,
             stack_ref, cur_ref, sp_ref, tf_ref, best_ref, act_ref,
-            need_ref, pacc_ref, msp_ref, ray_ref, nbuf_ref, lbuf_ref,
+            need_ref, pacc_ref, msp_ref, ray_ref, ubuf_ref,
             attr_ref, *rest,
-            GN, GL, occlusion, has_mask, stream_nodes, stream_leaves,
+            GN, GT, GNR, occlusion, has_mask, stream,
             robust=False, has_motion=False, has_kinds=False,
             kind_classes=(0,), want_attrs=False, has_win=False,
-            NSL_N=0, NSL_L=0, NF=N_FIELDS, CURVE_RATE=4):
+            NSL=0, NSL_N=0, NF=N_FIELDS, CURVE_RATE=4):
+    # ntab_ref: the resident prefix of the unified table (GNR tiles — the
+    # whole table when it fits VMEM, else the node tiles; GNR >= 1 so the
+    # root tile is always resident). atab_ref: the full table in HBM, read
+    # only on the streamed path (tile >= GNR).
     # leaf chunk layout (pack.py):
     # fields A | [fields B] | [mask] | [kind] | [t0 | t1]
     CH_MASK = NF * (2 if has_motion else 1)
@@ -119,54 +133,41 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     RAY_FRAME = RAY_MASK + (1 if has_mask else 0)
     INF_BITS = jnp.int32(0x7F800000)
 
-    # --- streamed-table refs (HBM-resident tables, breaking the VMEM scene
+    # --- streamed-table refs (HBM-resident table, breaking the VMEM scene
     # cap — the device-resident-accel role of the reference's AccelBuffer,
-    # kernels/sycl/rthwif_embree_builder.h:81). Each streamed table gets a
-    # per-group VMEM staging slot + SMEM tag: a 1-way cache whose tags (and
-    # staged tiles) PERSIST across grid programs, so coherence-sorted
-    # neighbouring programs re-use each other's tiles. ---
-    ri = 0
-    nstage_ref = ntag_ref = nsem = None
-    lstage_ref = ltag_ref = lsem = None
-    started_ref = dmacnt_ref = None
-    if stream_nodes:
-        nstage_ref, ntag_ref, nsem = rest[ri:ri + 3]
-        ri += 3
-    if stream_leaves:
-        lstage_ref, ltag_ref, lsem = rest[ri:ri + 3]
-        ri += 3
-    if stream_nodes or stream_leaves:
-        (started_ref, dmacnt_ref, claim_ref, claimw_ref,
-         okf_ref) = rest[ri:ri + 5]
+    # kernels/sycl/rthwif_embree_builder.h:81). The streamed suffix gets a
+    # shared direct-mapped VMEM tile cache (slot = tile % NSL) + SMEM tags;
+    # tags and staged tiles PERSIST across grid programs, so coherence-
+    # sorted neighbouring programs re-use each other's tiles. ---
+    if stream:
+        (stage_ref, tag_ref, sem, started_ref, dmacnt_ref, claim_ref,
+         claimw_ref, okf_ref) = rest
         dmacnt_ref[0] = 0
-        dmacnt_ref[1] = 0
 
         @pl.when(pl.program_id(0) == 0)
         def _init_tags():
-            if stream_nodes:
-                def bn(i, c):
-                    ntag_ref[i] = -1
-                    return c
-                jax.lax.fori_loop(0, NSL_N, bn, 0)
-            if stream_leaves:
-                def bl(i, c):
-                    ltag_ref[i] = -1
-                    return c
-                jax.lax.fori_loop(0, NSL_L, bl, 0)
+            def bn(i, c):
+                tag_ref[i] = -1
+                return c
+            jax.lax.fori_loop(0, NSL, bn, 0)
 
     rowall = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
     rowc = rowall & 7                # child/tri slot within the 8-row block
     zeroR = rowall * 0
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-    zero8 = row8 * 0
-
-    def b8(row):   # (1,128) -> (8,128)
-        return jnp.broadcast_to(row, (8, LANE))
+    zeroU = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
 
     # ---- one-time per program: expand ray components to block-broadcast ----
-    def expand(x):   # (U,128) -> (ROWS,128) with row 8u+c = x[u]
-        return jnp.broadcast_to(
-            x.reshape(UGRP, 1, LANE), (UGRP, 8, LANE)).reshape(ROWS, LANE)
+    if _EXPAND_IMPL == "repeat":
+        def expand(x):   # (U,128) -> (ROWS,128) with row 8u+c = x[u]
+            return jnp.repeat(x, 8, axis=0, total_repeat_length=ROWS)
+    else:
+        def expand(x):
+            return jnp.broadcast_to(
+                x.reshape(UGRP, 1, LANE), (UGRP, 8, LANE)).reshape(ROWS, LANE)
+
+    def b8u(x, u):   # compact group-row -> (8,128) block broadcast
+        return jnp.broadcast_to(x[u:u + 1], (8, LANE))
 
     eps = jnp.float32(1e-18)
 
@@ -178,7 +179,6 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     dy0 = expand(dir_ref[0, 1])
     dz0 = expand(dir_ref[0, 2])
     tnear8 = expand(tnear_ref[0])
-    tfar8 = expand(tfar_ref[0])
     ray_ref[0] = expand(org_ref[0, 0])
     ray_ref[1] = expand(org_ref[0, 1])
     ray_ref[2] = expand(org_ref[0, 2])
@@ -220,177 +220,215 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         ray_ref[RAY_FRAME + 8] = nz * dsf
         ray_ref[RAY_FRAME + 9] = dsf
 
-    def fetch(tab_ref, buf_ref, chunks, Gp, rec8, need8,
-              stage_ref=None, tag_ref=None, sem=None, cnt=None, NSL=0):
-        """Gather one record per lane per group from one pool into per-field
-        chunk buffers buf_ref[k] (each (ROWS,128), 8-row block u = group u's
-        record field). Each trip, every group dynamic-slices ITS OWN next
-        outstanding tile (per-block row-min over lane tile ids) and
-        lane-gathers from it; the while loop serves stragglers in other
-        tiles (~1-3 trips with coherence-sorted rays). Branchless: groups
+    def fetch_all(act8, cur8):
+        """Gather every active lane's current record (node or leaf — one
+        unified table) into per-field chunk buffers ubuf_ref[k] (each
+        (ROWS,128), 8-row block u = group u's record field). Returns
+        (servedU, trips): lanes NOT served this step stall — they keep
+        their traversal state and retry next step.
+
+        Resident path: LOOP-FREE. The FETCH_TILES distinct smallest tiles
+        per group are selected by a full-width masked-min chain, then each
+        group runs one lane-gather per selected tile with register-merged
+        results and a single buffer store per chunk (a 72-row gather costs
+        the same as an 8-row one, perf/micro_ops.py). Branchless: groups
         with nothing left re-gather a clamped tile with an all-false select
         (a pl.when gate measured 1.75x slower).
 
-        Streamed variant (stage_ref is not None): the table lives in HBM.
-        Per trip, every group whose staging tag misses its wanted tile
-        starts an async DMA (HBM tile -> its VMEM staging slot); ALL misses
-        start before any wait so up to UGRP copies are in flight at once,
-        then gathers read the staging slots. Tags/stages persist across
-        grid programs (scratch persistence), so the shared top-of-tree and
-        tiles shared between coherent neighbouring programs hit the cache."""
+        Streamed path (tile >= GNR): per trip of one while loop, every
+        group whose cache slot misses its wanted tile starts an async DMA
+        (HBM tile -> shared VMEM slot); ALL misses start before any wait so
+        up to UGRP copies are in flight at once, then gathers read the
+        slots. Two groups wanting the same tile share one DMA; a slot
+        COLLISION (same slot, different tile) defers the later group to the
+        next trip."""
         # clamp: corrupt refs must not become out-of-bounds tile reads (the
-        # GarbageGeometryTest analog — a bad BVH may misreport, never fault)
-        stream = stage_ref is not None
-        grp = jnp.clip(rec8 // LANE, 0, Gp - 1)
-        lane = rec8 % LANE
+        # GarbageGeometryTest analog — a bad BVH may misreport, never fault).
+        # Selection runs FULL-WIDTH (ROWS,LANE): the strided extract to a
+        # compact (UGRP,LANE) form and the expand back both cost more than
+        # the 8x-redundant reductions (measured — same lesson as the state
+        # layout).
+        rec8 = jnp.maximum(jnp.where(cur8 >= 0, cur8, -cur8 - 1), 0)
+        lane8 = rec8 & (LANE - 1)
+        tile8 = jnp.clip(jnp.where(cur8 >= 0, rec8 // LANE,
+                                   GN + rec8 // LANE), 0, GT - 1)
+        idxs = [jnp.concatenate([lane8[8 * u:8 * u + 8]] * LCH, axis=0)
+                for u in range(UGRP)]
 
-        if not stream and Gp <= SMALL_TILES:
+        if (not stream) and GT <= SMALL_TILES:
             # tiny resident table: serve EVERY tile unconditionally — no
-            # while loop, no cross-lane min reductions, no dynamic slices,
-            # no outstanding-set bookkeeping. Gp static gathers + selects
-            # per group beat the loop machinery for small top-of-tree
-            # tables (the common case for the node table).
+            # cross-lane min reductions, no dynamic slices
             for u in range(UGRP):
-                li = lane[8 * u:8 * u + 8]
-                idx = jnp.concatenate([li] * chunks, axis=0)
-                gu = grp[8 * u:8 * u + 1]              # (1,LANE) block-bcast
-                acc = jnp.take_along_axis(tab_ref[0][:8 * chunks], idx,
+                gu = tile8[8 * u:8 * u + 1]            # (1,LANE) block-bcast
+                acc = jnp.take_along_axis(ntab_ref[0][:8 * LCH], idxs[u],
                                           axis=1)
-                for g in range(1, Gp):
-                    got = jnp.take_along_axis(tab_ref[g][:8 * chunks], idx,
-                                              axis=1)
-                    selg = jnp.broadcast_to(gu == g, (8 * chunks, LANE))
+                for g in range(1, GT):
+                    got = jnp.take_along_axis(ntab_ref[g][:8 * LCH],
+                                              idxs[u], axis=1)
+                    selg = jnp.broadcast_to(gu == g, (8 * LCH, LANE))
                     acc = jnp.where(selg, got, acc)
-                for k in range(chunks):
-                    buf_ref[k, 8 * u:8 * u + 8] = acc[8 * k:8 * k + 8]
-            return need8, jnp.int32(1)
+                for k in range(LCH):
+                    ubuf_ref[k, 8 * u:8 * u + 8] = acc[8 * k:8 * k + 8]
+            return act8, jnp.int32(1)
 
-        need_ref[:] = jnp.where(need8, 1, 0) + zeroR
+        # --- resident prefix: static tile serves, no loop (in stream mode
+        # this is the node-lane path; node stragglers stall) ---
+        res_rem0 = (act8 & (tile8 < GNR)) if stream else act8
+        n_res = min(FETCH_TILES, GNR)
+        # in stream mode the static path serves NODE lanes only (the
+        # resident prefix is the node tiles): gather just the 4 node chunks
+        # — leaf-chunk rows hold stale values the ok-masks gate out
+        chs = 4 if stream else LCH
+        rem = res_rem0
+        gsafes, sels = [], []
+        for i in range(n_res):
+            gcur = jnp.min(jnp.where(rem, tile8, jnp.int32(GT)),
+                           axis=1, keepdims=True)      # (ROWS,1)
+            gsafes.append(jnp.minimum(gcur, GNR - 1))
+            sel = rem & (tile8 == jnp.broadcast_to(gcur, (ROWS, LANE)))
+            sels.append(sel)
+            rem = rem & ~sel
+        for u in range(UGRP):
+            accs = None
+            for i in range(n_res):
+                tl = ntab_ref[gsafes[i][8 * u, 0]]     # (rows,128) dyn slice
+                got = jnp.take_along_axis(tl[:8 * chs], idxs[u][:8 * chs],
+                                          axis=1)
+                if accs is None:
+                    # first serve writes unconditionally: unserved lanes get
+                    # garbage that the ok-masks gate out of the compute phase
+                    accs = [got[8 * k:8 * k + 8] for k in range(chs)]
+                else:
+                    su = sels[i][8 * u:8 * u + 8]
+                    accs = [jnp.where(su, got[8 * k:8 * k + 8], accs[k])
+                            for k in range(chs)]
+            for k in range(chs):
+                ubuf_ref[k, 8 * u:8 * u + 8] = accs[k]
+        served_static = res_rem0 & ~rem
+        trips = jnp.int32(n_res)
+        if not stream and not FETCH_FINISH:
+            # stall mode (default): lanes beyond FETCH_TILES distinct tiles
+            # keep their state and retry next step — no loop machinery at all
+            return served_static, trips
+        if not stream:
+            # finish loop: the rare lanes spanning more than FETCH_TILES
+            # distinct tiles are served by a short while loop (merge writes
+            # into the buffers) instead of stalling them to the next step.
+            # (the remaining-mask is carried through need_ref: Mosaic cannot
+            # legalize i1 vector while-loop carries)
+            need_ref[:] = jnp.where(rem, 1, 0) + zeroR
 
-        def serve(first: bool):
-            """One trip: every group gathers its min outstanding tile.
-            first=True writes UNCONDITIONALLY (every needed lane is served
-            in exactly one trip, and ok-masks gate unserved garbage out of
-            the compute phase) — skipping the read-merge-store halves the
-            common 1-trip cost. Each group's whole record is ONE
-            (rows, LANE) lane-gather: a 32/72-row gather costs the same as
-            an 8-row one (perf/micro_ops.py), so the per-chunk gather loop
-            collapses into per-chunk register slices of one gather."""
-            need = need_ref[:] > 0
-            gcur = jnp.min(jnp.where(need, grp, jnp.int32(Gp)),
-                           axis=1, keepdims=True)              # (ROWS,1)
-            gsafe = jnp.minimum(gcur, Gp - 1)
-            sel = need & (grp == jnp.broadcast_to(gcur, (ROWS, LANE)))
-            if not stream:
-                # resident tables serve the TWO smallest distinct tiles per
-                # trip: at 2M tris the fetch loop runs ~10 trips/step
-                # (incoherent lanes span many tiles) and trips, not DMA,
-                # bound the frame — two gathers+merge per trip halves them
-                left1 = need & ~sel
-                g2cur = jnp.min(jnp.where(left1, grp, jnp.int32(Gp)),
-                                axis=1, keepdims=True)
-                g2safe = jnp.minimum(g2cur, Gp - 1)
-                sel2 = left1 & (grp == jnp.broadcast_to(g2cur, (ROWS, LANE)))
-                selb = sel | sel2
+            def rbody(state):
+                _, t = state
+                rrem = need_ref[:] > 0
+                gcur = jnp.min(jnp.where(rrem, tile8, jnp.int32(GT)),
+                               axis=1, keepdims=True)
+                gsafe = jnp.minimum(gcur, GNR - 1)
+                sel = rrem & (tile8 == jnp.broadcast_to(gcur, (ROWS, LANE)))
                 for u in range(UGRP):
-                    t1 = tab_ref[gsafe[8 * u, 0]]
-                    t2 = tab_ref[g2safe[8 * u, 0]]
-                    li = lane[8 * u:8 * u + 8]
-                    idx = jnp.concatenate([li] * chunks, axis=0)
-                    got1 = jnp.take_along_axis(t1[:8 * chunks], idx, axis=1)
-                    got2 = jnp.take_along_axis(t2[:8 * chunks], idx, axis=1)
-                    s1u = sel[8 * u:8 * u + 8]
-                    if first:
-                        for k in range(chunks):
-                            buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
-                                s1u, got1[8 * k:8 * k + 8],
-                                got2[8 * k:8 * k + 8])
-                    else:
-                        sbu = selb[8 * u:8 * u + 8]
-                        for k in range(chunks):
-                            buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
-                                sbu,
-                                jnp.where(s1u, got1[8 * k:8 * k + 8],
-                                          got2[8 * k:8 * k + 8]),
-                                buf_ref[k, 8 * u:8 * u + 8])
-                left = need & ~selb
+                    tl = ntab_ref[gsafe[8 * u, 0]]
+                    got = jnp.take_along_axis(tl[:8 * LCH], idxs[u], axis=1)
+                    su = sel[8 * u:8 * u + 8]
+                    for k in range(LCH):
+                        ubuf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                            su, got[8 * k:8 * k + 8],
+                            ubuf_ref[k, 8 * u:8 * u + 8])
+                left = rrem & ~sel
                 need_ref[:] = jnp.where(left, 1, 0) + zeroR * 0
-                return jnp.min(jnp.where(left, grp, jnp.int32(Gp)))
-            if stream:
-                # shared direct-mapped tile cache (slot = tile % NSL):
-                # scalar phase claims slots, starts every miss (up to UGRP
-                # copies in flight), waits them all, then gathers. Two
-                # groups wanting the same tile share one DMA; a slot
-                # COLLISION (same slot, different tile) defers the later
-                # group to the next trip via the sel gate. Tags and staged
-                # tiles persist across grid programs.
-                for u in range(UGRP):
-                    want = gsafe[8 * u, 0]
-                    active = gcur[8 * u, 0] < Gp
-                    slot = jax.lax.rem(want, jnp.int32(NSL))
-                    coll = active & False
-                    for v in range(u):
-                        coll = coll | ((claim_ref[v] == slot)
-                                       & (claimw_ref[v] != want))
-                    ok_u = active & ~coll
-                    claim_ref[u] = jnp.where(ok_u, slot, -1)
-                    claimw_ref[u] = want
-                    okf_ref[u] = jnp.where(ok_u, 1, 0)
-                    miss = ok_u & (tag_ref[slot] != want)
-                    started_ref[u] = jnp.where(miss, 1, 0)
+                return (jnp.min(jnp.where(left, tile8, jnp.int32(GT))),
+                        t + 1)
 
-                    @pl.when(miss)
-                    def _(u=u, want=want, slot=slot):
-                        pltpu.make_async_copy(
-                            tab_ref.at[want], stage_ref.at[slot],
-                            sem.at[u]).start()
-                        tag_ref[slot] = want
-                        dmacnt_ref[cnt] = dmacnt_ref[cnt] + 1
-                for u in range(UGRP):
-                    @pl.when(started_ref[u] == 1)
-                    def _(u=u):
-                        pltpu.make_async_copy(
-                            tab_ref.at[claimw_ref[u]],
-                            stage_ref.at[claim_ref[u]],
-                            sem.at[u]).wait()
-                # deferred groups keep their lanes outstanding
-                gate = jnp.concatenate(
-                    [jnp.broadcast_to((okf_ref[u] == 1).reshape(1, 1),
-                                      (8, LANE)) for u in range(UGRP)],
-                    axis=0)
-                sel = sel & gate
+            _, extra = jax.lax.while_loop(
+                lambda s: s[0] < GT, rbody,
+                (jnp.min(jnp.where(rem, tile8, jnp.int32(GT))),
+                 jnp.int32(0)))
+            return res_rem0, trips + extra
+
+        # --- streamed suffix: while loop over the shared tile cache (the
+        # remaining-mask rides in need_ref — no i1 vector loop carries).
+        # The cache is PARTITIONED: node tiles (tile < GN, the hot tree top)
+        # map to their own slot range — with NSL_N >= GN they become
+        # resident after first touch — while leaf tiles share the rest. ---
+        def _slot_of(want):
+            return jnp.where(
+                want < GN, jax.lax.rem(want, jnp.int32(max(NSL_N, 1))),
+                NSL_N + jax.lax.rem(want - GN,
+                                    jnp.int32(max(NSL - NSL_N, 1))))
+
+        def serve_stream(strem):
+            gcur = jnp.min(jnp.where(strem, tile8, jnp.int32(GT)),
+                           axis=1, keepdims=True)
+            gsafe = jnp.minimum(gcur, GT - 1)
+            sel = strem & (tile8 == jnp.broadcast_to(gcur, (ROWS, LANE)))
             for u in range(UGRP):
-                if stream:
-                    slot = jax.lax.rem(gsafe[8 * u, 0], jnp.int32(NSL))
-                    tile = stage_ref[slot]             # staged (rows,128)
-                else:
-                    tile = tab_ref[gsafe[8 * u, 0]]    # (rows,128) dyn slice
-                li = lane[8 * u:8 * u + 8]
-                idx = jnp.concatenate([li] * chunks, axis=0)   # (rows,128)
-                got = jnp.take_along_axis(tile[:8 * chunks], idx, axis=1)
-                if first and not stream:
-                    for k in range(chunks):
-                        buf_ref[k, 8 * u:8 * u + 8] = got[8 * k:8 * k + 8]
-                else:
-                    selu = sel[8 * u:8 * u + 8]
-                    for k in range(chunks):
-                        buf_ref[k, 8 * u:8 * u + 8] = jnp.where(
-                            selu, got[8 * k:8 * k + 8],
-                            buf_ref[k, 8 * u:8 * u + 8])
-            left = need & ~sel
+                want = gsafe[8 * u, 0]
+                active = gcur[8 * u, 0] < GT
+                slot = _slot_of(want)
+                coll = active & False
+                for v in range(u):
+                    coll = coll | ((claim_ref[v] == slot)
+                                   & (claimw_ref[v] != want))
+                ok_u = active & ~coll
+                claim_ref[u] = jnp.where(ok_u, slot, -1)
+                claimw_ref[u] = want
+                okf_ref[u] = jnp.where(ok_u, 1, 0)
+                miss = ok_u & (tag_ref[slot] != want)
+                started_ref[u] = jnp.where(miss, 1, 0)
+
+                @pl.when(miss)
+                def _(u=u, want=want, slot=slot):
+                    pltpu.make_async_copy(
+                        atab_ref.at[want], stage_ref.at[slot],
+                        sem.at[u]).start()
+                    tag_ref[slot] = want
+                    dmacnt_ref[0] = dmacnt_ref[0] + 1
+            for u in range(UGRP):
+                @pl.when(started_ref[u] == 1)
+                def _(u=u):
+                    pltpu.make_async_copy(
+                        atab_ref.at[claimw_ref[u]],
+                        stage_ref.at[claim_ref[u]],
+                        sem.at[u]).wait()
+            # deferred groups keep their lanes outstanding
+            gate = jnp.concatenate(
+                [jnp.broadcast_to((okf_ref[u] == 1).reshape(1, 1),
+                                  (8, LANE)) for u in range(UGRP)],
+                axis=0)
+            sel = sel & gate
+            for u in range(UGRP):
+                slot = _slot_of(gsafe[8 * u, 0])
+                tile = stage_ref[slot]                 # staged (rows,128)
+                got = jnp.take_along_axis(tile[:8 * LCH], idxs[u], axis=1)
+                su = sel[8 * u:8 * u + 8]
+                for k in range(LCH):
+                    ubuf_ref[k, 8 * u:8 * u + 8] = jnp.where(
+                        su, got[8 * k:8 * k + 8],
+                        ubuf_ref[k, 8 * u:8 * u + 8])
+            left = strem & ~sel
             need_ref[:] = jnp.where(left, 1, 0) + zeroR * 0
-            return jnp.min(jnp.where(left, grp, jnp.int32(Gp)))
+            return jnp.min(jnp.where(left, tile8, jnp.int32(GT)))
 
-        def body(state):
-            _, trips = state
-            return serve(False), trips + 1
+        strem0 = act8 & (tile8 >= GNR)
+        need_ref[:] = jnp.where(strem0, 1, 0) + zeroR
 
-        g0 = serve(not _DEBUG_COND_FIRST[0])
-        _, trips = jax.lax.while_loop(
-            lambda s: s[0] < Gp, body, (g0, jnp.int32(1)))
-        return need8, trips
+        def sbody(state):
+            _, st = state
+            gmin = serve_stream(need_ref[:] > 0)
+            return gmin, st + 1
 
-    def step(ntrips, ltrips):
+        _, st = jax.lax.while_loop(
+            lambda s: s[0] < GT, sbody,
+            (jnp.min(jnp.where(strem0, tile8, jnp.int32(GT))),
+             jnp.int32(0)))
+        # the streamed loop runs to completion: every streamed lane is
+        # served; resident-prefix lanes beyond the static serves stall
+        return served_static | strem0, trips + st
+
+    def step(ftrips):
+        # scalar per-ray state is carried BLOCK-BROADCAST (every row of a
+        # group's 8-row block holds the same value): measured faster than a
+        # compact (UGRP,LANE) layout — the expand()/strided-extract at the
+        # 8-row use sites cost more than the 8x-redundant updates save.
         act8 = act_ref[:] > 0
         cur8 = cur_ref[:]
         sp8 = sp_ref[:]
@@ -403,26 +441,20 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
 
         at_node8 = act8 & (cur8 >= 0)
         at_leaf8 = act8 & (cur8 < 0)
-        if "nofetchn" in _ABLATE:
-            node_ok8, nt = at_node8, jnp.int32(0)
+        if _ABLATE & {"nofetch", "nofetchn", "nofetchl"}:
+            served8, ft = at_node8 | at_leaf8, jnp.int32(0)
         else:
-            node_ok8, nt = fetch(ntab_ref, nbuf_ref, 4, GN,
-                                 jnp.where(at_node8, cur8, 0), at_node8,
-                                 nstage_ref, ntag_ref, nsem, 0, NSL_N)
-        if "nofetchl" in _ABLATE:
-            leaf_ok8, lt = at_leaf8, jnp.int32(0)
-        else:
-            leaf_ok8, lt = fetch(ltab_ref, lbuf_ref, LCH, GL,
-                                 jnp.where(at_leaf8, -cur8 - 1, 0), at_leaf8,
-                                 lstage_ref, ltag_ref, lsem, 1, NSL_L)
-        stall8 = act8 & ~(node_ok8 | leaf_ok8)
+            served8, ft = fetch_all(act8, cur8)
+        node_ok8 = served8 & at_node8
+        leaf_ok8 = served8 & at_leaf8
+        stall8 = act8 & ~served8
 
         # ======== tile-parallel elementwise phases: ALL groups at once =====
         # ---------------- internal: 8-wide slab test ----------------
-        crefs = nbuf_ref[0]                                # (ROWS,128)
+        crefs = ubuf_ref[0]                                # (ROWS,128)
 
         def bnd(d):
-            bits = nbuf_ref[1 + d]
+            bits = ubuf_ref[1 + d]
             lo = _f32(bits << 16)
             hi = _f32(bits & ~jnp.int32(0xFFFF))
             return lo, hi
@@ -473,19 +505,19 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 # time-sliced multi-step motion: lerp weight is the window-
                 # local time; hits outside the slot's window are rejected
                 # below (the MSMBlur itime selection, done per slot)
-                wt0 = lbuf_ref[CH_T0]
-                wt1 = lbuf_ref[CH_T0 + 1]
+                wt0 = _f32(ubuf_ref[CH_T0])
+                wt1 = _f32(ubuf_ref[CH_T0 + 1])
                 wl8 = jnp.clip((time8 - wt0)
                                / jnp.maximum(wt1 - wt0, 1e-9), 0.0, 1.0)
             else:
                 wl8 = time8
 
             def lf(k):
-                a = lbuf_ref[k]
-                return a + wl8 * (lbuf_ref[NF + k] - a)
+                a = _f32(ubuf_ref[k])
+                return a + wl8 * (_f32(ubuf_ref[NF + k]) - a)
         else:
             def lf(k):
-                return lbuf_ref[k]
+                return _f32(ubuf_ref[k])
 
         class_results = []   # (kind_tag, valid, t)
         slot_attrs = None    # (u, v, ngx, ngy, ngz) per slot, pure-tri only
@@ -1021,7 +1053,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             class_results.append((9, cand_hit & newt_ok, t_round))
 
         if has_kinds:
-            ktag = _i32(lbuf_ref[CH_KIND])
+            ktag = ubuf_ref[CH_KIND]
             kvalid = jnp.zeros((ROWS, LANE), bool)
             tt = jnp.zeros((ROWS, LANE), jnp.float32)
             for tag, v_k, t_k in class_results:
@@ -1035,7 +1067,7 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             kvalid = kvalid & (time8 >= wt0) & (time8 <= wt1)
         if has_mask:
             kvalid = kvalid & (
-                (_i32(lbuf_ref[CH_MASK]) & _i32(ray_ref[RAY_MASK])) != 0)
+                (ubuf_ref[CH_MASK] & _i32(ray_ref[RAY_MASK])) != 0)
         tb = _i32(jnp.maximum(tt, 0.0))                  # monotonic bits
         # per-group best-slot key: t bits with slot in the low 3 bits
         lkeyR = jnp.where(kvalid, (tb & ~jnp.int32(7)) | rowc,
@@ -1187,23 +1219,23 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
         # stack-overflow surveillance: reduced to one count after the loop
         # (must stay 0 — bvh.h:71 analog)
         msp_ref[:] = jnp.maximum(msp_ref[:], new_sp8)
-        return ntrips + nt, ltrips + lt
+        return ftrips + ft
 
     def body(state):
-        it, _, ntrips, ltrips = state
+        it, _, ftrips = state
         # UNROLL steps per while iteration amortize the loop fixed costs
         # (cond reduction + scalar round-trip); inactive lanes no-op.
         for _ in range(UNROLL):
-            ntrips, ltrips = step(ntrips, ltrips)
+            ftrips = step(ftrips)
         n_active = jnp.sum(act_ref[:])
-        return it + UNROLL, n_active, ntrips, ltrips
+        return it + UNROLL, n_active, ftrips
 
     def cond(state):
         if "pin24" in _ABLATE:
             return state[0] < 24
         return (state[1] > 0) & (state[0] < MAX_STEPS)
 
-    live0 = tnear8 <= tfar8
+    live0 = tnear8 <= expand(tfar_ref[0])
     if not has_mask:
         # all geometry masks are default (-1): (pmask & rmask) != 0 reduces
         # to rmask != 0, folded into ray activation instead of a leaf chunk
@@ -1211,31 +1243,27 @@ def _kernel(ntab_ref, ltab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
     act_ref[:] = zeroR + jnp.where(live0, 1, 0)
     cur_ref[:] = zeroR
     sp_ref[:] = zeroR
-    tf_ref[:] = zeroR.astype(jnp.float32) + tfar8
+    tf_ref[:] = zeroR.astype(jnp.float32) + expand(tfar_ref[0])
     best_ref[:] = zeroR - 1
     msp_ref[:] = zeroR
     if want_attrs:
         attr_ref[:] = jnp.zeros((5, ROWS, LANE), jnp.float32)
     stack_ref[:] = jnp.zeros((STACK_BLOCKS, ROWS, LANE), jnp.int32)
-    nbuf_ref[:] = jnp.zeros((4, ROWS, LANE), jnp.int32)
-    lbuf_ref[:] = jnp.zeros((LCH, ROWS, LANE), jnp.float32)
+    ubuf_ref[:] = jnp.zeros((LCH, ROWS, LANE), jnp.int32)
 
-    it_final, _, ntrips, ltrips = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+    it_final, _, ftrips = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
     ovf = jnp.sum(jnp.where(msp_ref[:] > 8 * STACK_BLOCKS, 1, 0))
 
     # extract block-broadcast state rows c=0 back to (U,128)
     out_t_ref[0] = tf_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
     out_prim_ref[0] = best_ref[:].reshape(UGRP, 8, LANE)[:, 0, :]
-    # row 0: step count; row 1: node fetch-loop trips; row 2: leaf trips;
-    # rows 3/4: node/leaf DMA-miss counts (streamed tables only)
-    zu = jax.lax.broadcasted_iota(jnp.int32, (UGRP, LANE), 0) * 0
-    out_steps_ref[0] = zu + it_final
-    out_steps_ref[0, 1:2] = jnp.broadcast_to(ntrips, (1, LANE))
-    out_steps_ref[0, 2:3] = jnp.broadcast_to(ltrips, (1, LANE))
-    if stream_nodes or stream_leaves:
+    # row 0: step count; row 1: fetch tile-serve trips (static + streamed);
+    # row 3: DMA-miss count (streamed tables only)
+    out_steps_ref[0] = zeroU + it_final
+    out_steps_ref[0, 1:2] = jnp.broadcast_to(ftrips, (1, LANE))
+    if stream:
         out_steps_ref[0, 3:4] = jnp.broadcast_to(dmacnt_ref[0], (1, LANE))
-        out_steps_ref[0, 4:5] = jnp.broadcast_to(dmacnt_ref[1], (1, LANE))
     # row 5: stack-overflow lane-steps (must be 0)
     out_steps_ref[0, 5:6] = jnp.broadcast_to(ovf, (1, LANE))
     if want_attrs:
@@ -1269,16 +1297,17 @@ def _coherence_key(org, dir, tnear=None, tfar=None):
 
 
 def _residency(packed: PackedScene):
-    """Residency policy: tables small enough stay pinned in VMEM (zero fetch
-    cost); bigger tables live in HBM and stream through per-group staging
-    slots. The reference's analog is the compact/HW-resident accel
-    (kernels/sycl/rthwif_embree_builder.h:81): accel size is bounded by
-    device main memory, never by on-chip SRAM.
+    """Residency policy: tables small enough stay pinned in VMEM (zero DMA
+    cost); bigger tables live in HBM and their leaf-tile suffix streams
+    through a shared direct-mapped VMEM tile cache. The reference's analog
+    is the compact/HW-resident accel (kernels/sycl/rthwif_embree_builder.h:
+    81): accel size is bounded by device main memory, never by on-chip SRAM.
 
-    Returns (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-    scratch_bytes, NSL_N, NSL_L) where NSL_* are the shared tile-cache slot
-    counts for streamed tables (0 = table resident)."""
-    GN, GL = packed.n_node_tiles, packed.n_leaf_tiles
+    Returns (stream, GNR, NSL, vmem_limit, lrows, LCH, NR) where GNR is the
+    resident prefix tile count (whole table when it fits, else the node
+    tiles, else just the root tile) and NSL the streamed-cache slot count."""
+    GN, GL = packed.gn, packed.gl
+    GT = GN + GL
     has_mask, has_motion = packed.has_mask, packed.has_motion
     has_kinds, has_win = packed.has_kinds, packed.has_win
     nf = packed.nf
@@ -1288,39 +1317,32 @@ def _residency(packed: PackedScene):
     NR = (10 + (1 if has_motion else 0) + (1 if has_mask else 0)
           + (10 if has_curves else 0))
     lrows = ltab_rows(has_mask, has_motion, has_kinds, has_win, nf)
-    node_bytes = GN * 32 * LANE * 4
-    leaf_bytes = GL * lrows * LANE * 4
-    tile_n = 32 * LANE * 4
-    tile_l = lrows * LANE * 4
+    tile_b = lrows * LANE * 4
     scratch_bytes = (STACK_BLOCKS * ROWS * LANE * 4
-                     + (8 + NR + 4 + LCH) * ROWS * LANE * 4)
+                     + (8 + NR + LCH) * ROWS * LANE * 4)
     budget = VMEM_RESIDENT_BUDGET - scratch_bytes
-    stream_leaves = node_bytes + leaf_bytes > budget
-    # leaves stream first (they are ~3x larger and touched once per visit);
-    # nodes only stream when they alone exceed the budget
-    stream_nodes = stream_leaves and node_bytes > budget - UGRP * tile_l
-    # streamed tables get a SHARED direct-mapped tile cache sized to the
-    # remaining VMEM (slot = tile % NSL): coherence-sorted neighbouring
-    # programs/groups share hot tiles, so a big cache turns the round-2
-    # per-group 1-way staging (which thrashed: ~1 DMA per group-trip at 2M
-    # tris) into mostly-hit lookups
-    NSL_N = NSL_L = 0
-    if stream_leaves:
-        avail = budget - (node_bytes if not stream_nodes else 0)
-        if stream_nodes:
-            NSL_N = int(min(max(avail // 4 // tile_n, UGRP), 2048))
-            avail -= NSL_N * tile_n
-        NSL_L = int(min(max(avail // tile_l, UGRP), 2048))
-    resident = (node_bytes if not stream_nodes else NSL_N * tile_n) + \
-               (leaf_bytes if not stream_leaves else NSL_L * tile_l)
+    stream = GT * tile_b > budget
+    NSL = NSL_N = 0
+    if not stream:
+        GNR = GT
+    else:
+        # node tiles (the hot tree top) stay resident when they fit —
+        # served by the loop-free static path; the leaf suffix streams
+        # through a shared direct-mapped tile cache in one while loop.
+        # (Serving node tiles through the cache loop too was measured
+        # slower: a loop iteration costs ~2x a static serve.)
+        GNR = GN if GN * tile_b <= budget - UGRP * tile_b else 1
+        avail = budget - GNR * tile_b
+        NSL = int(min(max(avail // tile_b, UGRP), 4096))
+        NSL_N = 0 if GNR == GN else min(GN, (2 * NSL) // 3)
+    resident = GNR * tile_b + NSL * tile_b
     # generous slack: the compiler's scoped stack (fusion temporaries of the
     # curve leaf math) exceeded a tight bound on hair scenes — 24 MiB extra
     # plus 2x the scratch estimate keeps the limit comfortably above Mosaic's
     # true demand while still far under the 128 MiB core budget
     vmem_limit = min(int(resident * 1.2 + scratch_bytes * 2) + (24 << 20),
                      VMEM_HARD_LIMIT)
-    return (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-            scratch_bytes, NSL_N, NSL_L)
+    return stream, GNR, NSL, NSL_N, vmem_limit, lrows, LCH, NR
 
 
 def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
@@ -1349,8 +1371,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     PROG = UGRP * LANE
     if time is None:
         time = jnp.zeros(R, jnp.float32)
-    (stream_nodes, stream_leaves, vmem_limit, lrows, LCH, NR,
-     _scr, NSL_N, NSL_L) = _residency(packed)
+    (stream, GNR, NSL, NSL_N, vmem_limit, lrows, LCH,
+     NR) = _residency(packed)
     ridx = None
     # Reorder scope: the global multi-operand sort costs ~0.1 ms at 1M rays
     # on an idle chip (perf/sort_tax.py — earlier 25 ms readings were
@@ -1420,8 +1442,8 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     maskp = prep(ray_mask.astype(jnp.int32), 0)
     timep = prep(time.astype(jnp.float32), 0)
 
-    GN = packed.n_node_tiles
-    GL = packed.n_leaf_tiles
+    GN = packed.gn
+    GT = packed.gn + packed.gl
     has_mask = packed.has_mask
     has_motion = packed.has_motion
     has_kinds = packed.has_kinds
@@ -1429,31 +1451,27 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
     has_win = packed.has_win
 
     emit_attrs = want_attrs and packed.tri_attrs
-    kernel = functools.partial(_kernel, GN=GN, GL=GL, occlusion=occlusion,
-                               has_mask=has_mask, stream_nodes=stream_nodes,
-                               stream_leaves=stream_leaves, robust=robust,
+    kernel = functools.partial(_kernel, GN=GN, GT=GT, GNR=GNR,
+                               occlusion=occlusion,
+                               has_mask=has_mask, stream=stream,
+                               robust=robust,
                                has_motion=has_motion, has_kinds=has_kinds,
                                kind_classes=kind_classes,
                                want_attrs=emit_attrs, has_win=has_win,
-                               NSL_N=NSL_N, NSL_L=NSL_L, NF=packed.nf,
+                               NSL=NSL, NSL_N=NSL_N, NF=packed.nf,
                                CURVE_RATE=packed.curve_rate)
 
     ray3_spec = pl.BlockSpec((1, 3, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, UGRP, LANE), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    if stream_nodes:
-        nspec = pl.BlockSpec(memory_space=pltpu.ANY)
-    else:
-        # constant block index -> Pallas keeps the table resident in VMEM
-        # across grid steps instead of re-DMAing it per ray block
-        nspec = pl.BlockSpec((GN, 32, LANE), lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    if stream_leaves:
-        lspec = pl.BlockSpec(memory_space=pltpu.ANY)
-    else:
-        lspec = pl.BlockSpec((GL, lrows, LANE), lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    # resident prefix: constant block index -> Pallas keeps the first GNR
+    # tiles resident in VMEM across grid steps instead of re-DMAing per ray
+    # block. The full table rides along as a second (HBM/ANY) view of the
+    # SAME array for the streamed suffix — no copy is made.
+    nspec = pl.BlockSpec((GNR, lrows, LANE), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
 
     scratch = [
         pltpu.VMEM((STACK_BLOCKS, ROWS, LANE), jnp.int32),  # stacks
@@ -1466,35 +1484,27 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # pop accumulator
         pltpu.VMEM((ROWS, LANE), jnp.int32),        # max sp watermark
         pltpu.VMEM((NR, ROWS, LANE), jnp.float32),  # expanded ray const
-        pltpu.VMEM((4, ROWS, LANE), jnp.int32),     # node field chunks
-        pltpu.VMEM((LCH, ROWS, LANE), jnp.float32),  # leaf field chunks
+        pltpu.VMEM((LCH, ROWS, LANE), jnp.int32),   # unified field chunks
     ]
-    if stream_nodes:
-        scratch += [pltpu.VMEM((NSL_N, 32, LANE), jnp.int32),   # node cache
-                    pltpu.SMEM((NSL_N,), jnp.int32),            # node tags
-                    pltpu.SemaphoreType.DMA((UGRP,))]
-    if stream_leaves:
-        scratch += [pltpu.VMEM((NSL_L, lrows, LANE), jnp.float32),  # leaf $
-                    pltpu.SMEM((NSL_L,), jnp.int32),                # tags
-                    pltpu.SemaphoreType.DMA((UGRP,))]
-    if stream_nodes or stream_leaves:
-        scratch += [pltpu.SMEM((UGRP,), jnp.int32),   # DMA-started flags
-                    pltpu.SMEM((2,), jnp.int32),      # DMA miss counters
+    nattr = 5 if emit_attrs else 1
+    scratch += [pltpu.VMEM((nattr, ROWS, LANE), jnp.float32)]  # attr
+    if stream:
+        scratch += [pltpu.VMEM((NSL, lrows, LANE), jnp.int32),  # tile cache
+                    pltpu.SMEM((NSL,), jnp.int32),              # slot tags
+                    pltpu.SemaphoreType.DMA((UGRP,)),
+                    pltpu.SMEM((UGRP,), jnp.int32),   # DMA-started flags
+                    pltpu.SMEM((2,), jnp.int32),      # DMA miss counter
                     pltpu.SMEM((UGRP,), jnp.int32),   # slot claims
                     pltpu.SMEM((UGRP,), jnp.int32),   # claimed tiles
                     pltpu.SMEM((UGRP,), jnp.int32)]   # serve-ok flags
 
-    nattr = 5 if emit_attrs else 1
     attr_spec = pl.BlockSpec((1, nattr, UGRP, LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    # attr scratch slots in after lbuf (kernel signature order)
-    scratch = scratch[:12] + \
-        [pltpu.VMEM((nattr, ROWS, LANE), jnp.float32)] + scratch[12:]
 
     t_out, prim_out, steps_out, attr_out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[nspec, lspec,
+        in_specs=[nspec, aspec,
                   ray3_spec, ray3_spec, ray_spec, ray_spec, ray_spec,
                   ray_spec],
         out_specs=[ray_spec, ray_spec, ray_spec, attr_spec],
@@ -1507,7 +1517,7 @@ def traverse_packed(packed: PackedScene, org, dir, tnear, tfar, ray_mask,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(packed.node_table, packed.leaf_table, orgp, dirp, tnearp, tfarp, maskp,
+    )(packed.table, packed.table, orgp, dirp, tnearp, tfarp, maskp,
       timep)
 
     LAST_STEPS[0] = steps_out

@@ -19,7 +19,7 @@ _CALLABLE_FIELDS = ("filters", "user_fns")
 
 # archive format version; bump whenever the CommittedScene array layout or
 # static-field set changes (pre-versioning archives predate round 3)
-FORMAT_VERSION = 5   # r3: +prim_filter, +line neighbors, +curve_rate
+FORMAT_VERSION = 6   # r5: unified packed record table (PackedScene.table)
 
 
 def save_scene(path: str, scene: CommittedScene):
@@ -88,7 +88,7 @@ def _scene_treedef(has_packed: bool, packed_aux=None):
             dummy_children.append(BVH(z, z, z, z))
         elif f == "packed":
             dummy_children.append(
-                PackedScene(z, z, z, *(packed_aux or ()))
+                PackedScene(z, z, *(packed_aux or ()))
                 if has_packed else None)
         else:
             dummy_children.append(z)

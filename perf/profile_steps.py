@@ -50,15 +50,20 @@ def main():
     tfar = jnp.full((n_rays,), np.inf, jnp.float32)
     mask = jnp.full((n_rays,), -1, jnp.int32)
 
-    def run(org, d):
-        t, prim = tp.traverse_packed(packed, org, d, tnear, tfar, mask)
+    def run(org, d, dt):
+        t, prim = tp.traverse_packed(packed, org, d + dt * 1e-9, tnear,
+                                     tfar, mask)
         return t, prim, tp.LAST_STEPS[0]
 
     runj = jax.jit(run)
-    t, prim, steps = jax.block_until_ready(runj(org, d))
-    t0 = time.perf_counter()
-    t, prim, steps = jax.block_until_ready(runj(org, d))
-    el = time.perf_counter() - t0
+    t, prim, steps = jax.block_until_ready(runj(org, d, 0.0))
+    els = []
+    for rep in range(4):
+        t0 = time.perf_counter()
+        t, prim, steps = jax.block_until_ready(runj(org, d, float(rep)))
+        els.append(time.perf_counter() - t0)
+    el = sorted(els)[1]   # robust: 2nd-best of 4 (tunnel noise both ways)
+    print("reps:", " ".join(f"{e*1e3:.1f}" for e in els), "ms")
     arr = np.asarray(steps)
     steps = arr[:, 0, 0]  # per program
     ntrips, ltrips = arr[:, 1, 0], arr[:, 2, 0]
