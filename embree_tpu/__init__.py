@@ -28,6 +28,11 @@ from .scene import (
     intersect, occluded, intersect_brute,
 )
 from .interpolate import interpolate
+from .buffer import (BUFFER_TYPE_INDEX, BUFFER_TYPE_VERTEX,
+                     BUFFER_TYPE_VERTEX_ATTRIBUTE, Buffer, BufferError,
+                     get_geometry_buffer, interpolate_slot,
+                     set_geometry_buffer, set_vertex_attribute_count,
+                     vertex_attribute_count)
 from .builder_api import build_bvh, walk_bvh
 from .tlas import (TwoLevelScene, build_two_level, intersect_two_level,
                    occluded_two_level, update_transforms)

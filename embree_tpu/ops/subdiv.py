@@ -184,7 +184,10 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary,
         for e in edge_order:
             efs = edge_faces[e]
             mid = 0.5 * (V[e[0]] + V[e[1]])
-            w = crease.get(e, 0.0)
+            # PIN_ALL sets edge_crease = inf on EVERY edge
+            # (scene_subdiv_mesh.cpp:556): refinement degenerates to linear
+            # face splitting — edge points are pure midpoints
+            w = np.inf if boundary_mode == "pin_all" else crease.get(e, 0.0)
             if len(efs) == 2 and w < 1.0:
                 smooth = 0.25 * (V[e[0]] + V[e[1]] + fp[efs[0]] + fp[efs[1]])
                 pt = (1 - w) * smooth + w * mid
@@ -237,14 +240,17 @@ def _subdivide_once(Vs, faces, base, crease, vcrease, fuv, smooth_boundary,
 
         newVs.append(np.concatenate([VP, fp, np.asarray(ep_list)], axis=0))
 
-    # --- propagate pinning to the refined mesh ---
+    # --- propagate pinning to the refined mesh. Only ORIGINAL vertices are
+    # ever pinned (the reference implements the pin modes as inf
+    # vertex-crease weights on base-mesh vertices, scene_subdiv_mesh.cpp:
+    # 544-557, surviving subdivision via w-1 = inf; newly created edge/face
+    # points get NO vertex crease and follow the ordinary rules — for
+    # pin_boundary the border stays a straight polyline because all its
+    # points are collinear between pinned originals, NOT because midpoints
+    # are pinned, and their parametric spacing follows the crease rules) ---
     new_pinned = set(pinned)
     if boundary_mode == "pin_all":
         new_pinned = set(range(nv + len(faces) + len(edge_order)))
-    elif boundary_mode == "pin_boundary":
-        for e in edge_order:
-            if len(edge_faces[e]) == 1:
-                new_pinned.add(ep_idx[e])     # new boundary midpoints pin
 
     # --- new faces: one quad per (face, corner), with uv frames ---
     new_faces = []

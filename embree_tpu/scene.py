@@ -1064,14 +1064,17 @@ class _Merger:
 
 _PACKED_KINDS = {KIND_TRIANGLE, KIND_QUAD, KIND_SPHERE, KIND_DISC,
                  KIND_ORIENTED_DISC, KIND_ROUND_LINE, KIND_FLAT_LINE,
-                 KIND_CURVE_FLAT, KIND_CURVE_ROUND}
-# round curves ride the kernel by DEFAULT since the per-segment Newton
-# polish (r5): every cone-segment candidate is polished, so nearest-root
-# ordering matches the 32-seed jnp sweep (the r4 top-2 polish diverged on
-# ~2% of silhouette rays). EMBREE_TPU_KERNEL_ROUND=0 opts back out.
+                 KIND_CURVE_FLAT}
+# round curves in-kernel: the r5 PER-SEGMENT Newton polish (every
+# cone-segment candidate polished, nearest confirmed root wins) improved
+# on the r4 top-2 polish in unit tests, but curve0 still measures 1066
+# wrong px through the kernel vs 1.4 through the 32-seed jnp sweep
+# (budget 55) — the cone candidate generation itself misses roots the
+# sweep finds (endcap/clip regions), not just their ordering. Staying
+# opt-in; hair scenes keep the jnp engine.
 import os as _os_pk
-if _os_pk.environ.get("EMBREE_TPU_KERNEL_ROUND", "1") == "0":
-    _PACKED_KINDS.discard(KIND_CURVE_ROUND)
+if _os_pk.environ.get("EMBREE_TPU_KERNEL_ROUND", "0") == "1":
+    _PACKED_KINDS.add(KIND_CURVE_ROUND)
 # native curve kinds widen the per-slot record to 16 fields (4 Bezier CPs
 # x xyz+r — the CurveNv role, curveNv.h); all other kinds fit 9
 _CURVE_PACKED = {KIND_CURVE_FLAT, KIND_CURVE_ROUND}

@@ -190,7 +190,7 @@ def run_ecs(ecs_path, size=512):
             tci64 = np.asarray(tci, np.int64)
             tv, tq, tqb, tquvm = catmull_clark(
                 tcs3, fcs64, tci64, levels=g.levels + 2,
-                boundary_mode=mode,
+                to_limit=False, boundary_mode=mode,
                 boundary_interpolation=(mode != "no_boundary"))
             F = len(np.asarray(fcs))
             res = int(round(np.sqrt(max(int((tqb == 0).sum()), 1))))

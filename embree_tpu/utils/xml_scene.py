@@ -601,11 +601,23 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
         tcmode = tcie.get("subdiv_mode") if tcie is not None else None
         # level 5 approximates the reference's adaptive tessellation of the
         # limit surface closely enough for golden-image parity
-        out.geometries.append(SubdivisionGeometry(
+        sg = SubdivisionGeometry(
             pos, faces, idx, levels=5, creases=creases or None,
             vertex_creases=vcreases or None, holes=holes,
             texcoords=tcs, texcoord_indices=tci,
-            texcoord_mode=tcmode, position_mode=pmode))
+            texcoord_mode=tcmode, position_mode=pmode)
+        if tcs is not None:
+            # texcoords also ride the vertex-attribute SLOT registry
+            # (RTC_BUFFER_TYPE_VERTEX_ATTRIBUTE slot 0 — the reference's
+            # rtcSetGeometryVertexAttributeCount + buffer path the
+            # tutorials' texcoord shaders use)
+            from ..buffer import (BUFFER_TYPE_VERTEX_ATTRIBUTE,
+                                  set_geometry_buffer,
+                                  set_vertex_attribute_count)
+            set_vertex_attribute_count(sg, 1)
+            set_geometry_buffer(sg, BUFFER_TYPE_VERTEX_ATTRIBUTE, 0,
+                                np.asarray(tcs, np.float32))
+        out.geometries.append(sg)
     elif tag in ("Curves", "BezierCurves", "BSplineCurves", "BSplineHair",
                  "BezierHair", "Hair"):
         # per-tag defaults mirror loadNode's RTC type choices

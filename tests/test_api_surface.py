@@ -194,3 +194,64 @@ def test_max_spatial_split_replications_knob():
         return int(np.asarray(cs.bvh.prim_order).shape[0])
 
     assert leaf_refs(3.0) >= leaf_refs(1.0)
+
+
+def test_buffer_stride_and_slots():
+    """BufferStrideTest analog (verify.cpp:915) + the vertex-attribute SLOT
+    registry (rtcore_buffer.h): vertices registered through an interleaved
+    allocation with byte offset/stride resolve to the same scene as the
+    contiguous buffer; attribute slots feed rtcInterpolate; misuse raises."""
+    import numpy as np
+    import pytest
+    import embree_tpu as et
+    from embree_tpu.buffer import Buffer, BufferError
+
+    rng = np.random.default_rng(0)
+    verts = rng.uniform(-1, 1, (12, 3)).astype(np.float32)
+    idx = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]], np.int32)
+    temp = rng.uniform(0, 1, (12, 2)).astype(np.float32)
+
+    # interleaved allocation: [pos.xyz | uv | pad] per vertex, 4-byte lead-in
+    stride = (3 + 2 + 1) * 4
+    raw = np.zeros(1 + 12 * 6, np.float32)
+    inter = raw[1:].reshape(12, 6)
+    inter[:, 0:3] = verts
+    inter[:, 3:5] = temp
+    pos_buf = Buffer(raw, channels=3, offset=4, stride=stride, count=12)
+    uv_buf = Buffer(raw, channels=2, offset=16, stride=stride, count=12)
+    np.testing.assert_array_equal(pos_buf.resolve(), verts)
+    np.testing.assert_array_equal(uv_buf.resolve(), temp)
+
+    g = et.TriangleGeometry(pos_buf.resolve(), idx)
+    et.set_vertex_attribute_count(g, 2)
+    et.set_geometry_buffer(g, et.BUFFER_TYPE_VERTEX_ATTRIBUTE, 0, uv_buf)
+    et.set_geometry_buffer(g, et.BUFFER_TYPE_VERTEX_ATTRIBUTE, 1, verts)
+
+    # strided-vs-contiguous scenes agree exactly
+    s0, s1 = et.Scene(), et.Scene()
+    s0.attach(et.TriangleGeometry(verts, idx))
+    s1.attach(g)
+    rays = et.make_rays(rng.uniform(-2, 2, (64, 3)).astype(np.float32),
+                        rng.normal(size=(64, 3)).astype(np.float32))
+    h0 = et.intersect(s0.commit(), rays, backend="jnp")
+    h1 = et.intersect(s1.commit(), rays, backend="jnp")
+    np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h1.valid))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+
+    # slot-addressed interpolation == direct-buffer interpolation
+    pid = np.asarray(h1.prim_id[h1.valid], np.int32)
+    u = np.asarray(h1.u)[np.asarray(h1.valid)]
+    v = np.asarray(h1.v)[np.asarray(h1.valid)]
+    st = et.interpolate_slot(g, pid, u, v, slot=0)
+    ref = et.interpolate(g, pid, u, v, temp)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(ref), rtol=1e-6)
+
+    # error model: misaligned stride, overrun, undeclared slot
+    with pytest.raises(BufferError):
+        Buffer(raw, channels=3, offset=4, stride=13, count=12).resolve()
+    with pytest.raises(BufferError):
+        Buffer(raw, channels=3, offset=4, stride=stride, count=13).resolve()
+    with pytest.raises(BufferError):
+        et.set_geometry_buffer(g, et.BUFFER_TYPE_VERTEX_ATTRIBUTE, 2, temp)
+    with pytest.raises(BufferError):
+        et.get_geometry_buffer(g, et.BUFFER_TYPE_VERTEX, 0)
