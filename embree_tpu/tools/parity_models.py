@@ -34,7 +34,8 @@ def parse_ecs(path):
             toks += line.split()
     out = dict(xml=None, vp=None, vi=None, vu=(0.0, 1.0, 0.0), fov=90.0,
                lefthanded=False, shader="default", camera=None,
-               min_width=0.0, max_radius_scale=1.0, point_spheres=[])
+               min_width=0.0, max_radius_scale=1.0, point_spheres=[],
+               prim_spheres=[])
     i = 0
     while i < len(toks):
         t = toks[i].lstrip("-")
@@ -67,6 +68,11 @@ def parse_ecs(path):
             out["point_spheres"].append((kind, vals[:3], vals[3], vals[4],
                                          int(vals[5])))
             i += 7
+        elif t in ("triangle-sphere", "quad-sphere", "grid-sphere"):
+            vals = [float(x) for x in toks[i + 1:i + 6]]
+            out["prim_spheres"].append((t.split("-")[0], vals[:3], vals[3],
+                                        int(vals[4])))
+            i += 6
         else:
             i += 1
     return out
@@ -93,6 +99,67 @@ def _point_sphere(kind, center, radius, point_r, num_phi):
             np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
         ).astype(np.float32)
     return PointGeometry(pos, kind=kind, normals=normals)
+
+
+def _prim_sphere(shape, center, radius, num_phi):
+    """Procedural triangle/quad/grid spheres (geometry_creation.cpp
+    createTriangleSphere:?/createQuadSphere/createGridSphere) — exact
+    vertex layout and index quirks reproduced (the pole bands reference
+    arbitrary coincident pole-row vertices)."""
+    from ..geometry import GridGeometry, QuadGeometry, TriangleGeometry
+    c = np.asarray(center, np.float32)
+    if shape == "grid":
+        N = int(num_phi)
+        gs = (N + 1) * (N + 1)
+        frames = [  # p0, dx, dy per cube face (createGridSphere)
+            ((-0.5, -0.5, -0.5), (1, 0, 0), (0, 1, 0)),
+            ((+0.5, -0.5, -0.5), (0, 0, 1), (0, 1, 0)),
+            ((+0.5, -0.5, +0.5), (-1, 0, 0), (0, 1, 0)),
+            ((-0.5, -0.5, +0.5), (0, 0, -1), (0, 1, 0)),
+            ((-0.5, -0.5, -0.5), (0, 0, 1), (1, 0, 0)),
+            ((-0.5, +0.5, -0.5), (1, 0, 0), (0, 0, 1)),
+        ]
+        pos = np.zeros((6 * gs, 3), np.float32)
+        grids = []
+        t = np.arange(N + 1, dtype=np.float32) / N
+        for i, (p0, dx, dy) in enumerate(frames):
+            p = (np.asarray(p0, np.float32)
+                 + t[None, :, None] * np.asarray(dx, np.float32)
+                 + t[:, None, None] * np.asarray(dy, np.float32))
+            p = p / np.linalg.norm(p, axis=-1, keepdims=True)
+            pos[i * gs:(i + 1) * gs] = (c + radius * p).reshape(-1, 3)
+            grids.append([i * gs, N + 1, N + 1, N + 1])
+        return GridGeometry(pos, np.asarray(grids, np.int32))
+    n_phi = int(num_phi)
+    n_theta = 2 * n_phi
+    phi = np.arange(n_phi + 1)[:, None] * np.pi / n_phi
+    theta = np.arange(n_theta)[None, :] * 2.0 * np.pi / n_theta
+    x = c[0] + radius * np.sin(phi) * np.sin(theta)
+    y = (c[1] + radius * np.cos(phi)) * np.ones_like(theta)
+    z = c[2] + radius * np.sin(phi) * np.cos(theta)
+    pos = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    prims = []
+    for p in range(1, n_phi + 1):
+        for th in range(1, n_theta + 1):
+            p00 = (p - 1) * n_theta + th - 1
+            p01 = (p - 1) * n_theta + th % n_theta
+            p10 = p * n_theta + th - 1
+            p11 = p * n_theta + th % n_theta
+            if p == 1:
+                a, b, d = p10, n_theta - 1, p11     # pole-row quirk
+                prims.append([a, b, d, d] if shape == "quad" else [a, b, d])
+            elif p == n_phi:
+                a, b, d = n_phi * n_theta, p00, p01
+                prims.append([a, b, d, d] if shape == "quad" else [a, b, d])
+            elif shape == "quad":
+                prims.append([p10, p00, p01, p11])
+            else:
+                prims.append([p10, p00, p11])
+                prims.append([p01, p11, p00])
+    idx = np.asarray(prims, np.int32)
+    if shape == "quad":
+        return QuadGeometry(pos, idx)
+    return TriangleGeometry(pos, idx)
 
 
 def _pixel_times(width, height):
@@ -142,6 +209,9 @@ def run_ecs(ecs_path, size=512):
     for kind, c, r, pr, nphi in cfg["point_spheres"]:
         xs.geometries.append(_point_sphere(kind, c, r, pr, nphi))
         # OBJMaterial default Kd is white (measured vs goldens)
+        xs.kd.append(np.array([1.0, 1.0, 1.0], np.float32))
+    for shape, c, r, nphi in cfg["prim_spheres"]:
+        xs.geometries.append(_prim_sphere(shape, c, r, nphi))
         xs.kd.append(np.array([1.0, 1.0, 1.0], np.float32))
     if not xs.geometries:
         raise ValueError("no geometries parsed")
@@ -312,7 +382,8 @@ def main(argv=None):
         name = os.path.relpath(ecs, MODELDIR)
         t0 = time.time()
         pc = parse_ecs(ecs)
-        if pc["xml"] is None and not pc["point_spheres"]:
+        if (pc["xml"] is None and not pc["point_spheres"]
+                and not pc["prim_spheres"]):
             results[name] = "SKIP: no scene input"
             n_skip += 1
             print(f"{name}: SKIP (no scene input)", flush=True)
