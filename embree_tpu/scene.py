@@ -114,6 +114,10 @@ class CommittedScene:
     # per-prim time windows (time-sliced multi-step motion; [0,1] = whole)
     prim_t0: jnp.ndarray = None   # (T,) float32
     prim_t1: jnp.ndarray = None   # (T,) float32
+    # per-curve-prim ribbon rate (rtcSetGeometryTessellationRate is per
+    # GEOMETRY; mixed-rate scenes must not collapse to one rate — the
+    # faceting IS the reference's rendered shape, hair0.xml rates 4 vs 16)
+    curve_prate: jnp.ndarray = None   # (Tc,) int32
     # --- static aux (jit specialization) ---
     kinds_present: Tuple[int, ...] = dataclasses.field(default=(), metadata={"static": True})
     has_motion: bool = dataclasses.field(default=False, metadata={"static": True})
@@ -132,6 +136,10 @@ class CommittedScene:
     # ribbon sub-segment count (rtcSetGeometryTessellationRate; max over
     # curve geometries — static jit arg for the flat-curve intersector)
     curve_rate: int = dataclasses.field(default=4, metadata={"static": True})
+    # distinct per-geometry rates present (static: one ribbon evaluation per
+    # rate, merged by curve_prate)
+    curve_rates_present: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata={"static": True})
     # RTC_SCENE_FLAG_COMPACT analog: unpacked kind tables dropped, hits are
     # served from the packed kernel attributes (point_query/collide and
     # differentiable re-intersection are unavailable on compact scenes)
@@ -312,7 +320,7 @@ class _Merger:
                                      "fl", "pL", "rL", "pR", "rR",
                                      "p0b", "r0b", "p1b", "r1b",
                                      "pLb", "rLb", "pRb", "rRb")}
-        self.curve = {k: [] for k in ("cp", "cpb", "n", "nb")}
+        self.curve = {k: [] for k in ("cp", "cpb", "n", "nb", "rate")}
         self.user = {k: [] for k in ("lo", "up")}
         self.counts = {"tri": 0, "quad": 0, "pnt": 0, "line": 0, "user": 0,
                        "curve": 0}
@@ -603,8 +611,9 @@ class _Merger:
                     nbez = nbezb = np.zeros((n, 4, 3), np.float32)
                 self._emit(kind, gid, n, self.counts["curve"], inst_stack, mask)
                 self.counts["curve"] += n
-                self.curve_rate = max(
-                    self.curve_rate, int(getattr(g, "tessellation_rate", 4)))
+                rate_g = int(getattr(g, "tessellation_rate", 4))
+                self.curve_rate = max(self.curve_rate, rate_g)
+                self.curve["rate"].append(np.full(n, rate_g, np.float32))
                 self.curve["cp"].append(bez.astype(np.float32))
                 self.curve["cpb"].append(bezb.astype(np.float32))
                 self.curve["n"].append(nbez.astype(np.float32))
@@ -847,6 +856,9 @@ class _Merger:
         curve_cpb = cat(self.curve["cpb"], (4, 4))
         curve_n = cat(self.curve["n"], (4, 3))
         curve_nb = cat(self.curve["nb"], (4, 3))
+        curve_prate = cat(self.curve["rate"], ()).astype(np.int32)
+        curve_rates = tuple(sorted(set(
+            int(x) for x in np.unique(curve_prate)))) or (4,)
         user_lo = cat(self.user["lo"], (3,)); user_up = cat(self.user["up"], (3,))
 
         # per-prim bounds: union over both time steps (conservative MB bounds,
@@ -927,7 +939,11 @@ class _Merger:
         mwf = float(getattr(self, "min_width_factor", 0.0))
         packable = (set(kinds_present) <= _PACKED_KINDS
                     and not self.filters and not self.user_fns
-                    and mwf == 0.0)
+                    and mwf == 0.0
+                    # the kernel's ribbon runs ONE static CURVE_RATE;
+                    # mixed-rate flat-curve scenes ride the jnp engine
+                    and (KIND_CURVE_FLAT not in kinds_present
+                         or len(curve_rates) <= 1))
         leaf_size = LEAF_SIZE // (2 if (packable and KIND_QUAD in kinds_present)
                                   else 1)
 
@@ -1041,9 +1057,11 @@ class _Merger:
             user_lo=user_lo, user_up=user_up,
             packed=packed,
             prim_t0=windows[:, 0], prim_t1=windows[:, 1],
+            curve_prate=curve_prate,
             kinds_present=kinds_present,
             has_motion=bool(self.has_motion),
             curve_rate=int(self.curve_rate),
+            curve_rates_present=curve_rates,
             has_windows=has_windows,
             filters=tuple(self.filters),
             user_fns=tuple(self.user_fns),
@@ -1287,8 +1305,23 @@ def _kind_test(scene: CommittedScene, k: int, didx, org, dir, time, tnear, tfar)
         if k == KIND_CURVE_DISTANCE:
             return curve_ops.intersect_distance(org, dir, cp, tnear, tfar)
         if k == KIND_CURVE_FLAT:
-            return curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar,
-                                              n_seg=scene.curve_rate)
+            # one ribbon evaluation per DISTINCT geometry rate, merged by
+            # each prim's own rate — the faceting of a low-rate geometry is
+            # part of the rendered shape (rtcSetGeometryTessellationRate)
+            rates = tuple(scene.curve_rates_present) or (scene.curve_rate,)
+            out = None
+            pr = scene.curve_prate[i]
+            for r in rates:
+                hr = curve_ops.intersect_ribbon(org, dir, cp, tnear, tfar,
+                                                n_seg=int(r))
+                if out is None:
+                    out = list(hr)
+                else:
+                    sel = pr == r
+                    out = [jnp.where(sel[..., None] if a.ndim > sel.ndim
+                                     else sel, a, b)
+                           for a, b in zip(hr, out)]
+            return tuple(out)
         if k == KIND_CURVE_ORIENTED:
             ncp = lerp(scene.curve_n[i], scene.curve_nb[i])
             return curve_ops.intersect_oriented(org, dir, cp, ncp, tnear, tfar)

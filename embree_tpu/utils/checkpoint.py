@@ -19,7 +19,7 @@ _CALLABLE_FIELDS = ("filters", "user_fns")
 
 # archive format version; bump whenever the CommittedScene array layout or
 # static-field set changes (pre-versioning archives predate round 3)
-FORMAT_VERSION = 6   # r5: unified packed record table (PackedScene.table)
+FORMAT_VERSION = 7   # r5: unified packed table + per-prim curve rates
 
 
 def save_scene(path: str, scene: CommittedScene):

@@ -634,6 +634,12 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
             basis, ctype = "bspline", "round"
         pos = _xf_positions_anim(xf, _positions(elem, 4), radius_col=True)
         idx = _ints(elem.find("indices"))
+        if tag in ("Hair", "BezierHair", "BezierCurves"):
+            # these tags route through the reference's loadBezierCurves,
+            # whose indices are (start_vertex, curve_id) PAIRS
+            # (xml_loader.cpp:1197 loadVec2iArray); the BSpline*/Curves tags
+            # use plain start arrays (loadCurves, xml_loader.cpp:1260)
+            idx = idx.reshape(-1, 2)[:, 0].copy()
         if basis == "bspline":
             # NaN end control points trigger the b-spline edge rule
             # (xml_loader.cpp:1166 fix_bspline_end_points)
