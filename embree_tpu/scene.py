@@ -333,6 +333,7 @@ class _Merger:
         # buffers (tight per-segment bounds fall out of the pair tables)
         self.prim_t01 = []      # per-emit (n, 2) windows
         self._window = (0.0, 1.0)
+        self.fat_round_joints = False   # see the round-line packable gate
         self._trange = (0.0, 1.0)   # time_range of the geometry being added
         self._fidx = -1         # filter slot of the geometry being added
         self.curve_rate = 4     # max tessellation_rate over native curves
@@ -531,6 +532,19 @@ class _Merger:
             has_right = np.isin(idx + 1, idx)
             iL = np.clip(idx - 1, 0, va.shape[0] - 1)
             iR = np.clip(idx + 2, 0, va.shape[0] - 1)
+            if kind == KIND_ROUND_LINE and n > 0:
+                # FAT JOINTS (joint radius comparable to segment length)
+                # need the reference's neighbor-cone interior-hit clipping
+                # (roundline_intersector.h:562 isInsideCappedCone); the
+                # packed kernel's record has no neighbor fields, so such
+                # scenes ride the exact jnp engine. Thin chains (hair) pass
+                # the test and stay on the kernel.
+                seg_len = np.linalg.norm(va[idx + 1, :3] - va[idx, :3],
+                                         axis=-1)
+                rj = np.maximum(va[idx, 3], va[idx + 1, 3]) * np.maximum(s, 1e-30)
+                joint = has_left | has_right
+                self.fat_round_joints |= bool(
+                    (joint & (rj > 0.5 * seg_len)).any())
             self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
             self.counts["line"] += n
             for (key, arr) in (
@@ -628,6 +642,13 @@ class _Merger:
             s = self._xf_scale(xf)
             kind = KIND_ROUND_LINE if g.kind == "round" else KIND_FLAT_LINE
             n = p0.shape[0]
+            jj0 = np.arange(n)
+            if kind == KIND_ROUND_LINE and n > 0:
+                seg_len = np.linalg.norm(p1 - p0, axis=-1)
+                rj = np.maximum(r0, r1) * np.maximum(s, 1e-30)
+                joint = ((jj0 % rate) != 0) | ((jj0 % rate) != rate - 1)
+                self.fat_round_joints |= bool(
+                    (joint & (rj > 0.5 * seg_len)).any())
             self._emit(kind, gid, n, self.counts["line"], inst_stack, mask)
             # local prim id = source curve index (sub-segments share it);
             # u in [0,1] spans the whole curve (reference curve u semantics)
@@ -943,7 +964,10 @@ class _Merger:
                     # the kernel's ribbon runs ONE static CURVE_RATE;
                     # mixed-rate flat-curve scenes ride the jnp engine
                     and (KIND_CURVE_FLAT not in kinds_present
-                         or len(curve_rates) <= 1))
+                         or len(curve_rates) <= 1)
+                    # fat-jointed round lines need neighbor-cone clipping
+                    # the packed record lacks
+                    and not getattr(self, "fat_round_joints", False))
         leaf_size = LEAF_SIZE // (2 if (packable and KIND_QUAD in kinds_present)
                                   else 1)
 
