@@ -409,6 +409,13 @@ def main(argv=None):
             n_fail += not ok
             print(f"{name}: {results[name]} [{time.time()-t0:.0f}s] "
                   f"{'PASS' if ok else 'FAIL'}", flush=True)
+        except FileNotFoundError as e:
+            # scene references an asset the reference tree does not ship
+            # (e.g. subdiv/cornell_box.obj) — unrunnable for the reference
+            # viewer too: a skip, not a failure
+            results[name] = f"SKIP: missing input ({e.filename})"
+            n_skip += 1
+            print(f"{name}: SKIP missing input {e.filename}", flush=True)
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERROR {type(e).__name__}: {e}"
             n_fail += 1
