@@ -203,6 +203,8 @@ class CurveGeometry:
     kind: str = "round"          # round | flat | oriented
     tangents: Optional[object] = None  # (n_cp, 4) hermite tangents
     normals: Optional[object] = None   # (n_cp, 3) oriented-curve normals
+    normal_derivatives: Optional[object] = None  # (n_cp, 3) hermite
+    #   oriented-curve normal derivatives (RTC_BUFFER_TYPE_NORMAL_DERIVATIVE)
     tessellation_rate: int = 4   # reference default, scene_curves.cpp
     algorithm: str = "native"    # native | tessellate
     mask: int = 0xFFFFFFFF

@@ -609,10 +609,22 @@ class _Merger:
                 if g.normals is not None:
                     nr, nrb, nmotion = self._steps(g.normals, "normals")
                     self.has_motion |= nmotion
+
                     if g.basis == curve_ops.BASIS_HERMITE:
-                        z = np.zeros_like(nr[idx])
-                        ncp = np.stack([nr[idx], z, nr[idx + 1], z], axis=1)
-                        ncpb = np.stack([nrb[idx], z, nrb[idx + 1], z], axis=1)
+                        # hermite normal spline: (n0, dn0, n1, dn1) — the
+                        # RTC_BUFFER_TYPE_NORMAL_DERIVATIVE buffer
+                        # (scene_curves.h dnormals); zero derivatives when
+                        # the buffer is absent
+                        if g.normal_derivatives is not None:
+                            dn, dnb, _ = self._steps(
+                                g.normal_derivatives, "normal_derivatives")
+                            d0, d0b = dn[idx], dnb[idx]
+                            d1, d1b = dn[idx + 1], dnb[idx + 1]
+                        else:
+                            d0 = d0b = d1 = d1b = np.zeros_like(nr[idx])
+                        ncp = np.stack([nr[idx], d0, nr[idx + 1], d1], axis=1)
+                        ncpb = np.stack([nrb[idx], d0b, nrb[idx + 1], d1b],
+                                        axis=1)
                     else:
                         ncp, ncpb = nr[gather], nrb[gather]
                     nbez = np.array(curve_ops.to_bezier(g.basis, jnp.asarray(ncp)))

@@ -662,12 +662,13 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
                 if elem.find("tangents") is not None \
                 or elem.find("animated_tangents") is not None else None
             nrm = _xf_vectors_anim(xf, _buffer(elem, "normals", 3))
+            dnrm = _xf_vectors_anim(xf, _buffer(elem, "normal_derivatives", 3))
             kind = {"flat": "flat", "ribbon": "flat", "round": "round",
                     "surface": "round", "normal_oriented": "oriented"}[ctype]
             rate = int(float(elem.get("tessellation_rate", 4)))
             out.geometries.append(CurveGeometry(
                 pos, idx, basis=basis, kind=kind, tangents=tan, normals=nrm,
-                tessellation_rate=rate))
+                normal_derivatives=dnrm, tessellation_rate=rate))
     elif tag == "FurBall":
         assert xf is None or xf.steps is None, "animated FurBall unsupported"
         for g in _furball(elem, xf.static if xf is not None else None):
