@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.math import rcp_safe
-from .bvh import BVH, INVALID_NODE
+from .bvh import BVH, INVALID_NODE, LEAF_COUNT_BITS
 
 STACK_DEPTH = 64
 
@@ -91,6 +91,7 @@ def traverse(
     occlusion: bool = False,
     max_leaf_size: int = 1,
     robust: bool = False,
+    leaf_obb=None,
 ) -> TraversalResult:
     """Find closest (or any, if occlusion) primitive hit along each ray.
 
@@ -98,6 +99,10 @@ def traverse(
       prim_test: callable (prim_ids[R], valid[R], org, dir, tnear, tfar) ->
         (hit[R] bool, t[R]) testing one primitive per ray.
       max_leaf_size: static upper bound of prims per leaf (loop unroll factor).
+      leaf_obb: optional (rot, lo, up) strand-aligned leaf bounds indexed by
+        leaf start slot (accel/obb.py, the hair-tier OBB analog of
+        bvh_node_obb.h). Leaf children additionally slab-test in their local
+        frame at push time, culling pops/prim tests a loose AABB lets through.
     """
     R = org.shape[0]
     W = bvh.width
@@ -129,6 +134,33 @@ def traverse(
         hit, t_entry = slab_test(c_lo, c_up, org, rdir, tnear, t_far,
                                  robust=robust)
         hit = hit & (child != INVALID_NODE) & is_node[:, None]
+
+        if leaf_obb is not None:
+            # hair-tier refinement: children that are leaves re-test in
+            # their strand-aligned frame (rot rows = local axes); non-leaf
+            # slots fetch the pass-through infinite box at slot 0's table
+            # entry via clamping — their mask keeps the AABB verdict.
+            obb_rot, obb_lo, obb_up = leaf_obb
+            child_leaf = (child < 0) & (child != INVALID_NODE)
+            start_c = jnp.where(child_leaf,
+                                (-(child + 1)) >> LEAF_COUNT_BITS, 0)
+            cr = obb_rot[start_c]                        # (R, W, 3, 3)
+            clo = obb_lo[start_c]                        # (R, W, 3)
+            cup = obb_up[start_c]
+            org_l = jnp.einsum("rwij,rj->rwi", cr, org)
+            dir_l = jnp.einsum("rwij,rj->rwi", cr, dir)
+            rdir_l = rcp_safe(dir_l)
+            o0 = (clo - org_l) * rdir_l
+            o1 = (cup - org_l) * rdir_l
+            omin = jnp.minimum(o0, o1)
+            omax = jnp.maximum(o0, o1)
+            if robust:
+                omin = omin * ROUND_DOWN
+                omax = omax * ROUND_UP
+            oin = jnp.maximum(jnp.max(omin, axis=-1), tnear[:, None])
+            oout = jnp.minimum(jnp.min(omax, axis=-1), t_far[:, None])
+            hit = hit & (~child_leaf | (oin <= oout))
+
         dist = jnp.where(hit, t_entry, jnp.inf)
 
         # sort children by entry distance (ascending); misses to the back

@@ -57,6 +57,11 @@ from .geometry import (
 # Static leaf block size for scene BVHs (TriangleM M=4 analog, triangle.h:14).
 LEAF_SIZE = 8
 
+# kinds eligible for the strand-aligned leaf-OBB hair tier (accel/obb.py;
+# the reference routes these through BVHBuilderHair, bvh_builder_hair.h:19)
+_HAIR_KINDS = {KIND_ROUND_LINE, KIND_FLAT_LINE, KIND_CURVE_FLAT,
+               KIND_CURVE_ROUND, KIND_CURVE_ORIENTED, KIND_CURVE_DISTANCE}
+
 PALLAS_INTERPRET = False  # set True in CPU tests to run the kernel interpreted
 
 
@@ -118,6 +123,11 @@ class CommittedScene:
     # GEOMETRY; mixed-rate scenes must not collapse to one rate — the
     # faceting IS the reference's rendered shape, hair0.xml rates 4 vs 16)
     curve_prate: jnp.ndarray = None   # (Tc,) int32
+    # strand-aligned leaf OBBs (hair tier, accel/obb.py — the bvh_node_obb.h
+    # role at leaf granularity; zero-size arrays = tier off for this scene)
+    leaf_obb_rot: jnp.ndarray = None  # (n_prims, 3, 3)
+    leaf_obb_lo: jnp.ndarray = None   # (n_prims, 3)
+    leaf_obb_up: jnp.ndarray = None   # (n_prims, 3)
     # --- static aux (jit specialization) ---
     kinds_present: Tuple[int, ...] = dataclasses.field(default=(), metadata={"static": True})
     has_motion: bool = dataclasses.field(default=False, metadata={"static": True})
@@ -1064,6 +1074,48 @@ class _Merger:
             z3 = np.zeros((0, 3), np.float32)
             tri = {k: z3 for k in tri}
 
+        # ---------------- hair tier: strand-aligned leaf OBBs ----------------
+        # Pure curve/line scenes get per-leaf oriented bounds tested at push
+        # time (accel/obb.py; bvh_builder_hair.h:19 role). Presplit scenes
+        # are excluded (replicated refs share leaf slots).
+        import os as _os
+        hair_elig = np.isin(kind, list(_HAIR_KINDS))
+        hair_obb = (hair_elig.mean() >= 0.5 if T else False) \
+            and ref_ids is None and T >= 8 \
+            and _os.environ.get("EMBREE_TPU_HAIR_OBB", "1") != "0"
+        if hair_obb:
+            from .accel.obb import leaf_obbs
+            pts = np.zeros((T, 8, 3), np.float32)
+            paxis = np.zeros((T, 3), np.float32)
+            prmax = np.zeros((T,), np.float32)
+            for k in np.unique(kind):
+                if k not in _HAIR_KINDS:
+                    continue
+                sel = kind == k
+                d = data[sel]
+                if k in (KIND_ROUND_LINE, KIND_FLAT_LINE):
+                    p = np.stack([line["p0"][d], line["p1"][d],
+                                  line["p0b"][d], line["p1b"][d]], axis=1)
+                    pts[sel] = np.concatenate([p, p], axis=1)
+                    paxis[sel] = line["p1"][d] - line["p0"][d]
+                    prmax[sel] = mrs * np.maximum.reduce(
+                        [line["r0"][d], line["r1"][d],
+                         line["r0b"][d], line["r1b"][d]])
+                else:
+                    cc = curve_cp[d]
+                    cb = curve_cpb[d]
+                    pts[sel] = np.concatenate([cc[..., :3], cb[..., :3]], 1)
+                    paxis[sel] = cc[:, 3, :3] - cc[:, 0, :3]
+                    prmax[sel] = mrs * np.maximum(
+                        cc[..., 3].max(1), cb[..., 3].max(1))
+            obb_rot, obb_lo, obb_up = leaf_obbs(
+                np.asarray(bvh8.node_child), np.asarray(bvh8.prim_order),
+                pts, paxis, prmax, eligible=hair_elig)
+        else:
+            obb_rot = np.zeros((0, 3, 3), np.float32)
+            obb_lo = np.zeros((0, 3), np.float32)
+            obb_up = np.zeros((0, 3), np.float32)
+
         cs = CommittedScene(
             bvh=bvh8,
             prim_kind=rows[:, 0].astype(np.int32),
@@ -1094,6 +1146,7 @@ class _Merger:
             packed=packed,
             prim_t0=windows[:, 0], prim_t1=windows[:, 1],
             curve_prate=curve_prate,
+            leaf_obb_rot=obb_rot, leaf_obb_lo=obb_lo, leaf_obb_up=obb_up,
             kinds_present=kinds_present,
             has_motion=bool(self.has_motion),
             curve_rate=int(self.curve_rate),
@@ -1508,8 +1561,18 @@ def _traverse_select(scene: CommittedScene, flat: RayBatch, occlusion: bool,
         _make_prim_test(scene, flat,
                         context="occluded" if occlusion else "intersect"),
         flat.org, flat.dir, flat.tnear, flat.tfar,
-        occlusion=occlusion, max_leaf_size=LEAF_SIZE, robust=scene.robust)
+        occlusion=occlusion, max_leaf_size=LEAF_SIZE, robust=scene.robust,
+        leaf_obb=_scene_leaf_obb(scene))
     return result.best_prim
+
+
+def _scene_leaf_obb(scene: CommittedScene):
+    """Hair-tier OBB tables for traverse(), or None when the tier is off
+    (zero-size tables; the shape is static under jit)."""
+    rot = getattr(scene, "leaf_obb_rot", None)
+    if rot is None or rot.shape[0] == 0:
+        return None
+    return (scene.leaf_obb_rot, scene.leaf_obb_lo, scene.leaf_obb_up)
 
 
 def intersect(scene: CommittedScene, rays: RayBatch,

@@ -19,7 +19,7 @@ _CALLABLE_FIELDS = ("filters", "user_fns")
 
 # archive format version; bump whenever the CommittedScene array layout or
 # static-field set changes (pre-versioning archives predate round 3)
-FORMAT_VERSION = 7   # r5: unified packed table + per-prim curve rates
+FORMAT_VERSION = 8   # r5: + strand-aligned leaf-OBB hair-tier tables
 
 
 def save_scene(path: str, scene: CommittedScene):
