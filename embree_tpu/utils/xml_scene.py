@@ -540,20 +540,30 @@ def _xf_positions_anim(xf: "_XF", pos, radius_col=False):
     return np.stack(outs)
 
 
-def _xf_vectors_anim(xf: "_XF", vec):
-    """Transform direction vectors (w=0) through an _XF."""
+def _xf_vectors_anim(xf: "_XF", vec, radius_col=False):
+    """Transform direction vectors (w=0) through an _XF. radius_col=True
+    treats a 4th component as a radius DERIVATIVE (hermite tangent dr):
+    scaled like radii, never translated."""
     if vec is None:
         return None
     vec = np.asarray(vec, np.float32)
     if xf is None or (xf.static is None and xf.steps is None):
         return vec
+
+    def one(m, v):
+        if radius_col:
+            scale = np.abs(np.linalg.det(m[:, :3])) ** (1.0 / 3.0)
+            return np.concatenate([_apply_xfm(m, v[..., :3], w=0.0),
+                                   v[..., 3:] * scale], axis=-1)
+        return _apply_xfm(m, v, w=0.0)
+
     if xf.steps is None:
-        return _apply_xfm(xf.static, vec, w=0.0)
+        return one(xf.static, vec)
     S = xf.steps.shape[0]
     outs = []
     for k in range(S):
         vk = _sample_lin(vec, k / (S - 1), S) if vec.ndim == 3 else vec
-        outs.append(_apply_xfm(xf.sample(k), vk, w=0.0))
+        outs.append(one(xf.sample(k), vk))
     return np.stack(outs)
 
 
@@ -657,8 +667,11 @@ def _add_geometry(out: XMLScene, elem, xf, trange=None):
             out.geometries.append(LineSegmentsGeometry(
                 pos, idx, kind="round" if ctype == "round" else "flat"))
         else:
-            tan = _xf_positions_anim(xf, _buffer(elem, "tangents", 4),
-                                     radius_col=True) \
+            # hermite tangents are DERIVATIVES: linear part only (no
+            # translation; xml_loader.cpp loadHermiteCurves keeps tangents
+            # in the node's space and SceneGraph xfmVector-bakes them)
+            tan = _xf_vectors_anim(xf, _buffer(elem, "tangents", 4),
+                                   radius_col=True) \
                 if elem.find("tangents") is not None \
                 or elem.find("animated_tangents") is not None else None
             nrm = _xf_vectors_anim(xf, _buffer(elem, "normals", 3))

@@ -96,3 +96,39 @@ def test_xml_writer_roundtrip(tmp_path):
     m = np.asarray(h1.valid)
     np.testing.assert_allclose(np.asarray(h1.t)[m], np.asarray(h2.t)[m],
                                rtol=1e-5)
+
+
+def test_hermite_tangents_not_translated(tmp_path):
+    """Hermite tangents are derivatives: a Transform's translation must not
+    leak into them (xml_loader.cpp loadHermiteCurves + xfmVector baking).
+    Regression: the oriented_curve0-4 / oriented_hermite_curve_twisted tier
+    rendered mis-shaped ribbons because translate was added to tangents."""
+    import numpy as np
+    from embree_tpu.geometry import CurveGeometry
+    xml = """<?xml version="1.0"?>
+<scene><Group>
+  <Transform>
+    <AffineSpace translate="5 7 -3"/>
+    <Curves basis="hermite" type="normal_oriented">
+      <positions>0 0 0 0.1  0 0 1 0.1</positions>
+      <tangents>0 0 1 0.0  0 0 1 0.0</tangents>
+      <normals>1 0 0  0 1 0</normals>
+      <normal_derivatives>0 1 0  -1 0 0</normal_derivatives>
+      <indices>0</indices>
+    </Curves>
+  </Transform>
+</Group></scene>"""
+    p = tmp_path / "herm.xml"
+    p.write_text(xml)
+    xs = load_xml(p)
+    g = [x for x in xs.geometries if isinstance(x, CurveGeometry)][0]
+    v = np.asarray(g.vertices)
+    t = np.asarray(g.tangents)
+    # positions ARE translated ...
+    np.testing.assert_allclose(v[0, :3], [5, 7, -3], atol=1e-6)
+    # ... tangents are NOT (pure translation: linear part is identity)
+    np.testing.assert_allclose(t, [[0, 0, 1, 0], [0, 0, 1, 0]], atol=1e-6)
+    # normals / normal derivatives likewise ride the vector path
+    np.testing.assert_allclose(np.asarray(g.normals)[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.normal_derivatives)[1],
+                               [-1, 0, 0], atol=1e-6)
