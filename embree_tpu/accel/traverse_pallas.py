@@ -671,9 +671,11 @@ def _kernel(ntab_ref, atab_ref, org_ref, dir_ref, tnear_ref, tfar_ref,
             s0ok = s0ok & (lf(8) < 0.5)
             s0f = s0ok & (ypc + ts0f * dOdP < 0.0)
             s0b = s0ok & (ypc + ts0b * dOdP < 0.0)
-            degc = gco <= 0.0     # degenerate cone: end sphere unclipped
-            s1f = s1ok & ((ypc + ts1f * dOdP > gco) | degc)
-            s1b = s1ok & ((ypc + ts1b * dOdP > gco) | degc)
+            # y > gco clip applies even when the cone is degenerate
+            # (gco <= 0): shrinking degenerates must drop end-sphere hits
+            # buried inside the fat begin sphere (ops/line.py rls_9 note)
+            s1f = s1ok & (ypc + ts1f * dOdP > gco)
+            s1b = s1ok & (ypc + ts1b * dOdP > gco)
             BIG = jnp.float32(3e38)
             t_lo = jnp.minimum(jnp.where(cf_ok, tcf, BIG),
                                jnp.minimum(jnp.where(s0f, ts0f, BIG),

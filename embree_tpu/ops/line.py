@@ -91,12 +91,15 @@ def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
     # sphere hits inside the cone's y-range belong to the cone surface
     s0f_ok = s0_ok & (yp + ts0f * dOdP < 0.0)
     s0b_ok = s0_ok & (yp + ts0b * dOdP < 0.0)
-    # degenerate cone (g <= 0: the start sphere lies inside the end
-    # sphere): the end sphere IS the geometry — accept it unclipped
-    # (roundline_intersector.h:557 'if cone is entirely in sphere end')
-    deg = g <= 0.0
-    s1f_ok = s1_ok & ((yp + ts1f * dOdP > g) | deg)
-    s1b_ok = s1_ok & ((yp + ts1b * dOdP > g) | deg)
+    # The y > g clip applies EVEN for degenerate cones (g <= 0, one sphere
+    # swallowing the cone): the reference keeps the segment valid
+    # ('validCone | g <= 0', roundline_intersector.h:557) but
+    # intersectEndSphere still clips by y > g — for a SHRINKING degenerate
+    # (rls_9: thin tip behind a fat joint) this removes tip-sphere hits
+    # buried inside the fat begin sphere. For growing degenerates the clip
+    # is vacuous (min sphere-1 y = g + r1*(dr - |dP|) > g when dr > |dP|).
+    s1f_ok = s1_ok & (yp + ts1f * dOdP > g)
+    s1b_ok = s1_ok & (yp + ts1b * dOdP > g)
 
     def inside_capped_cone(t_loc, c0, cN, rr0, rrN, hasN):
         """roundline_intersector.h isInsideCappedCone: is the hit point
@@ -120,27 +123,54 @@ def intersect_round_line(org, dir, p0, r0, p1, r1, tnear, tfar,
         hasR = rR >= 0.0
 
         def not_interior(t_loc):
+            # cone hits inside a neighbor's capped cone are interior
+            # (roundline_intersector.h:566-568)
             return ~(inside_capped_cone(t_loc, p0, pL, r0, rL, hasL)
                      | inside_capped_cone(t_loc, p1, pR, r1, rR, hasR))
+
+        def sph1_plane_ok(t_loc):
+            # end-sphere hits are clipped only by the RIGHT neighbor cone's
+            # starting plane (isClippedByPlane, roundline_intersector.h:130:
+            # y > cap0 with the neighbor cone p1->pR) — NOT the full
+            # capped-cone test
+            p = o + t_loc[..., None] * dir
+            dPn = pR - p1
+            drn = rR - r1
+            y = dot(p - p1, dPn)
+            return ~(hasR & (y > -r1 * drn + eps))
     else:
         def not_interior(t_loc):
             return jnp.ones_like(t_loc, bool)
 
-    # nearest valid candidate >= tnear (union surface; works for origins
-    # inside the tube because exit roots are candidates too)
+        def sph1_plane_ok(t_loc):
+            return jnp.ones_like(t_loc, bool)
+
+    cf_ok = cf_ok & not_interior(tcf)
+    cb_ok = cb_ok & not_interior(tcb)
+    s1f_ok = s1f_ok & sph1_plane_ok(ts1f)
+    s1b_ok = s1b_ok & sph1_plane_ok(ts1b)
+
+    # CSG interval union (roundline_intersector.h:584-600): the segment's
+    # surface interval is [min(front roots), max(back roots)]; only those
+    # two boundaries are real union surface points. A nearest-root pick
+    # would report back roots interior to the union for rays STARTING
+    # INSIDE the tube (rls_9: camera inside the fat joint sphere saw cone
+    # B's slant through the sphere instead of the sphere's exit).
     INF = jnp.inf
-    t_best = jnp.full_like(tcf, INF)
-    t_loc = jnp.zeros_like(tcf)
-    for tc, okc in ((tcf, cf_ok), (tcb, cb_ok), (ts0f, s0f_ok),
-                    (ts0b, s0b_ok), (ts1f, s1f_ok), (ts1b, s1b_ok)):
-        tw = dt + tc
-        okc = okc & (tnear <= tw) & (tw <= tfar) & not_interior(tc)
-        take = okc & (tw < t_best)
-        t_best = jnp.where(take, tw, t_best)
-        # carry the LOCAL root exactly: the u/Ng recovery below matches it
-        # by equality against the candidate roots
-        t_loc = jnp.where(take, tc, t_loc)
-    hit = t_best < INF
+    t_lower = jnp.full_like(tcf, INF)
+    for tc, okc in ((tcf, cf_ok), (ts0f, s0f_ok), (ts1f, s1f_ok)):
+        t_lower = jnp.where(okc, jnp.minimum(t_lower, tc), t_lower)
+    t_upper = jnp.full_like(tcf, -INF)
+    for tc, okc in ((tcb, cb_ok), (ts0b, s0b_ok), (ts1b, s1b_ok)):
+        t_upper = jnp.where(okc, jnp.maximum(t_upper, tc), t_upper)
+
+    ok_lower = (t_lower < INF) & (tnear <= dt + t_lower) \
+        & (dt + t_lower <= tfar)
+    ok_upper = (t_upper > -INF) & (tnear <= dt + t_upper) \
+        & (dt + t_upper <= tfar)
+    hit = ok_lower | ok_upper
+    t_loc = jnp.where(ok_lower, t_lower, t_upper)
+    t_best = jnp.where(hit, dt + t_loc, INF)
 
     cone_first = (t_loc == tcf) | (t_loc == tcb)
     sph0_first = (t_loc == ts0f) | (t_loc == ts0b)

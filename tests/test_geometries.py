@@ -409,3 +409,25 @@ def test_sweep_ray_origin_inside_curve():
     h = jax.jit(et.intersect)(cs, rays)
     assert bool(h.valid[0])
     assert 0.3 < float(h.t[0]) < 0.7
+
+
+def test_round_line_inside_fat_joint_exit():
+    """rls_9 regression (CSG interval union + degenerate-cone end-sphere
+    clip): a ray STARTING INSIDE a fat joint sphere must exit through the
+    union boundary (the joint sphere's far side), not through a thin
+    neighboring cone's slant buried inside the sphere
+    (roundline_intersector.h:584-600 interval union, :557 g<=0 clip)."""
+    verts = np.array([[0, 1, 0, 1.0], [0, 2, 0, 1.0], [0, 2.8, 0, 0.1]],
+                     np.float32)
+    cs, _ = commit(et.LineSegmentsGeometry(
+        verts, np.array([0, 1], np.int32), kind="round"))
+    # near-axis ray from inside the first fat sphere, pointing up
+    h = shoot(cs, [[0.05, 0.5, 0.0]], [[0, 1, 0]])
+    assert bool(h.valid[0])
+    # union exit: the fat joint sphere (0,2,0,r=1) far side at
+    # y = 2 + sqrt(1 - 0.05^2) ~= 2.99875 -> t = y - 0.5
+    np.testing.assert_allclose(float(h.t[0]), 2.49875, atol=1e-3)
+    # outward normal points along the ray (exit hit)
+    ng = np.asarray(h.ng[0], np.float64)
+    ng /= np.linalg.norm(ng)
+    assert ng[1] > 0.99
